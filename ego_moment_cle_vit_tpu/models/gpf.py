@@ -1,0 +1,140 @@
+"""Graph Polynomial Fusion Flax modules.
+
+Parameter-holding wrappers over :mod:`..ops.graph`.  Capability parity with
+/root/reference/src/models/gpf_kernel.py:15-217 (GraphPolynomialFusion and
+the AdaptiveGraphPolynomialFusion subclass).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.graph import gpf_fuse, token_similarity_graph
+
+Dtype = Any
+
+
+def _init_coefficients(init_method: str, degree_p: int, degree_q: int):
+    """Raw-coefficient initializers matching reference gpf_kernel.py:58-73."""
+    shape = (degree_p + 1, degree_q + 1)
+
+    def init(key, _shape=shape, dtype=jnp.float32):
+        if init_method == "uniform":
+            return jax.random.uniform(key, _shape, dtype, 0.0, 0.1)
+        if init_method == "xavier":
+            # xavier_uniform over a [P+1, Q+1] "weight": U(-a, a),
+            # a = sqrt(6 / (fan_in + fan_out))
+            a = (6.0 / (shape[0] + shape[1])) ** 0.5
+            return jax.random.uniform(key, _shape, dtype, -a, a)
+        if init_method == "identity":
+            base = jnp.full(_shape, 0.01, dtype)
+            base = base.at[0, 0].set(0.5)
+            if degree_p >= 1 and degree_q >= 1:
+                base = base.at[1, 1].set(0.5)
+            return base
+        raise ValueError(f"Unknown initialization method: {init_method}")
+
+    return init
+
+
+class GraphPolynomialFusion(nn.Module):
+    """Learnable polynomial fusion of dual-view similarity graphs.
+
+    G = sum_pq softplus(alpha_pq) * R_a^{.p} ⊙ R_p^{.q}, symmetrized and
+    clamped >= 0 (reference gpf_kernel.py:117-159).
+    """
+
+    degree_p: int = 2
+    degree_q: int = 2
+    similarity: str = "cosine"
+    eps: float = 1e-6
+    symmetric_enforce: bool = True
+    coeff_init: str = "uniform"
+
+    @nn.compact
+    def __call__(
+        self, tokens_anchor: jnp.ndarray, tokens_positive: jnp.ndarray
+    ) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha_coeffs",
+            _init_coefficients(self.coeff_init, self.degree_p, self.degree_q),
+        )
+        r_a = token_similarity_graph(tokens_anchor, self.similarity, self.eps)
+        r_p = token_similarity_graph(tokens_positive, self.similarity, self.eps)
+        coeffs = jax.nn.softplus(alpha)
+        return gpf_fuse(
+            r_a, r_p, coeffs, symmetric_enforce=self.symmetric_enforce
+        )
+
+    def fuse_single(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Inference specialization: anchor == positive => R_p == R_a, so the
+        expansion degenerates to sum A_pq R^{.(p+q)} — one similarity matmul
+        instead of two (SURVEY.md §3.5, provably identical output)."""
+        alpha = self.get_variable("params", "alpha_coeffs")
+        r = token_similarity_graph(tokens, self.similarity, self.eps)
+        coeffs = jax.nn.softplus(alpha)
+        return gpf_fuse(r, r, coeffs, symmetric_enforce=self.symmetric_enforce)
+
+    @staticmethod
+    def coefficient_matrix(params) -> jnp.ndarray:
+        """A_pq = softplus(alpha_pq) (reference gpf_kernel.py:161-163)."""
+        return jax.nn.softplus(params["alpha_coeffs"])
+
+    @staticmethod
+    def sparsity_loss(params, lambda_sparse: float = 0.01) -> jnp.ndarray:
+        """L1 penalty on the nonneg coefficients (gpf_kernel.py:165-176)."""
+        coeffs = jax.nn.softplus(params["alpha_coeffs"])
+        return lambda_sparse * jnp.sum(jnp.abs(coeffs))
+
+
+class AdaptiveGraphPolynomialFusion(nn.Module):
+    """Adaptive-coefficient GPF.
+
+    The reference declares 'global' / 'spatial' / 'attention' variants but
+    only 'global' is implemented (its forward falls through to the base class
+    for the rest; gpf_kernel.py:211-217).  Here 'global' matches the base
+    module, and 'attention' is actually implemented: per-sample coefficient
+    modulation from the pooled token statistics of both views.
+    """
+
+    degree_p: int = 2
+    degree_q: int = 2
+    similarity: str = "cosine"
+    eps: float = 1e-6
+    symmetric_enforce: bool = True
+    coeff_init: str = "uniform"
+    adaptive_type: str = "global"  # 'global' | 'attention'
+
+    @nn.compact
+    def __call__(
+        self, tokens_anchor: jnp.ndarray, tokens_positive: jnp.ndarray
+    ) -> jnp.ndarray:
+        num_terms = (self.degree_p + 1) * (self.degree_q + 1)
+        alpha = self.param(
+            "alpha_coeffs",
+            _init_coefficients(self.coeff_init, self.degree_p, self.degree_q),
+        )
+        r_a = token_similarity_graph(tokens_anchor, self.similarity, self.eps)
+        r_p = token_similarity_graph(tokens_positive, self.similarity, self.eps)
+
+        if self.adaptive_type == "attention":
+            # Per-sample modulation: delta_pq(b) from pooled dual-view stats.
+            pooled = jnp.concatenate(
+                [jnp.mean(tokens_anchor, axis=1), jnp.mean(tokens_positive, axis=1)],
+                axis=-1,
+            )  # [B, 2D]
+            delta = nn.Dense(num_terms, name="coeff_mod")(pooled)  # [B, terms]
+            delta = delta.reshape(-1, self.degree_p + 1, self.degree_q + 1)
+            coeffs = jax.nn.softplus(alpha[None] + 0.1 * delta)  # [B, P+1, Q+1]
+            # vmap the static-coefficient fusion over per-sample coefficients
+            fuse = lambda ra, rp, c: gpf_fuse(
+                ra[None], rp[None], c, symmetric_enforce=self.symmetric_enforce
+            )[0]
+            return jax.vmap(fuse)(r_a, r_p, coeffs)
+
+        coeffs = jax.nn.softplus(alpha)
+        return gpf_fuse(r_a, r_p, coeffs, symmetric_enforce=self.symmetric_enforce)

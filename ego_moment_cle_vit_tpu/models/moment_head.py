@@ -1,0 +1,230 @@
+"""Graph-weighted high-order moment pooling heads (Flax).
+
+Capability parity with /root/reference/src/models/moment_head.py:136-322
+(MomentHead), moment_head_optimized.py:126-285 (MemoryOptimizedMomentHead)
+and moment_head_simple.py:15-164 (SimplifiedMomentHead), unified into one
+module with flags instead of three near-duplicate classes:
+
+* ``MomentHead``             — canonical pipeline (normalize graph, weighted
+                               mean, centered covariance, Newton–Schulz
+                               iSQRT, half-vectorize, MLP; optional 3rd-order
+                               Tensor-Sketch branch).
+* ``remat=True``             — wraps the iSQRT in ``jax.checkpoint`` (the
+                               reference's "memory-optimized" variant uses
+                               torch.utils.checkpoint the same way).
+* ``SimplifiedMomentHead``   — row-normalized weights, single-matrix NS, and
+                               random-projection third order, matching the
+                               reference's "simplified" variant semantics but
+                               vectorized (no per-sample Python loop).
+
+Divergences (SURVEY.md §7 bug ledger):
+* norm='batch' reproduces the reference's BatchNorm1d; the default is
+  'layer' because BatchNorm breaks batch-1 inference (ledger #10) and costs
+  a cross-device sync in data-parallel training.  Set norm='batch' for
+  strict parity.
+* The third-order sketch defaults to the FFT-correct estimator
+  (``sketch_mode='fft'``); ``'faithful'`` reproduces the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.moments import (
+    graph_weighted_covariance,
+    graph_weighted_mean,
+    degree_weighted_centered_mean,
+    half_vectorize,
+    newton_schulz_isqrt,
+)
+from ..ops.graph import normalize_graph
+from ..ops.sketch import SketchParams, make_sketch_params, effective_sketch_dim, tensor_sketch_3
+
+Dtype = Any
+
+
+class _Norm(nn.Module):
+    """BatchNorm/LayerNorm switch used by the head MLPs."""
+
+    kind: str = "layer"  # 'layer' | 'batch' | 'none'
+    axis_name: Optional[str] = None  # cross-device sync axis for batchnorm
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool = True):
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=use_running_average,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.axis_name,
+                dtype=jnp.float32,
+            )(x)
+        if self.kind == "layer":
+            return nn.LayerNorm(dtype=jnp.float32)(x)
+        return x
+
+
+class MomentHead(nn.Module):
+    """Canonical graph-weighted moment pooling head.
+
+    [B, N, D] tokens + [B, N, N] fused graph -> [B, d_out] moment features.
+    Pipeline parity: reference moment_head.py:268-322.
+    """
+
+    d_in: int
+    d_out: int = 512
+    use_third_order: bool = False
+    isqrt_iterations: int = 3
+    sketch_dim: int = 2048
+    sketch_mode: str = "fft"  # 'fft' | 'faithful'
+    sketch_seed: int = 42
+    eps: float = 1e-5
+    dropout: float = 0.1
+    norm: str = "layer"  # 'layer' | 'batch' (reference parity) | 'none'
+    axis_name: Optional[str] = None
+    remat: bool = False  # checkpoint the iSQRT (memory-optimized variant)
+    dtype: Dtype = jnp.float32
+
+    @property
+    def d_second(self) -> int:
+        return self.d_out // 2 if self.use_third_order else self.d_out
+
+    @property
+    def d_third(self) -> int:
+        return self.d_out - self.d_second if self.use_third_order else 0
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        graph: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        # 1) symmetric degree normalization  W = D^{-1/2} G D^{-1/2}
+        w = normalize_graph(graph, "symmetric", eps=self.eps)
+        # 2-4) weighted mean, centering, second moment M2 = Zc^T W Zc
+        mu = graph_weighted_mean(tokens, w, eps=self.eps)
+        m2, centered = graph_weighted_covariance(tokens, w, mean=mu, eps=self.eps)
+
+        # 5) iSQRT-COV normalization (fp32 inside), optionally rematerialized
+        isqrt_fn = lambda m: newton_schulz_isqrt(
+            m, num_iterations=self.isqrt_iterations, eps=self.eps
+        )
+        if self.remat:
+            isqrt_fn = jax.checkpoint(isqrt_fn)
+        m2_normalized = isqrt_fn(m2)
+
+        # 6) half-vectorize upper triangle -> [B, D(D+1)/2]
+        m2_vec = half_vectorize(m2_normalized).astype(self.dtype)
+
+        # 7) second-order projection: Linear -> Norm -> GELU -> Dropout
+        x = nn.Dense(self.d_second, dtype=self.dtype, name="second_proj")(m2_vec)
+        x = _Norm(self.norm, self.axis_name, name="second_norm")(
+            x, use_running_average=deterministic
+        )
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        features = [x]
+
+        # 8) optional third-order branch
+        if self.use_third_order:
+            sketch_params = self._sketch_params()
+            weighted_centered = degree_weighted_centered_mean(
+                centered, w, eps=self.eps
+            )
+            third = tensor_sketch_3(
+                weighted_centered, sketch_params, mode=self.sketch_mode
+            ).astype(self.dtype)
+            y = nn.Dense(self.d_third, dtype=self.dtype, name="third_proj")(third)
+            y = _Norm(self.norm, self.axis_name, name="third_norm")(
+                y, use_running_average=deterministic
+            )
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            features.append(y)
+
+        return jnp.concatenate(features, axis=-1)
+
+    def _sketch_params(self) -> SketchParams:
+        """Fixed (non-trainable) count-sketch matrices, stored as a
+        'constants' collection so they ride checkpoints but take no grads."""
+        k = effective_sketch_dim(self.d_in, self.sketch_dim)
+
+        def init():
+            return make_sketch_params(
+                jax.random.PRNGKey(self.sketch_seed), self.d_in, self.sketch_dim
+            ).matrices
+
+        mats = self.variable("constants", "sketch_matrices", init)
+        return SketchParams(
+            matrices=mats.value, input_dim=self.d_in, sketch_dim=k
+        )
+
+
+class SimplifiedMomentHead(nn.Module):
+    """Lightweight variant: row-normalized weights (W = G / degree), single
+    -matrix Newton–Schulz, random-projection third order, no norm layers.
+
+    Semantics parity with reference moment_head_simple.py:15-164, but fully
+    vectorized (the reference loops over the batch in Python :117-124).
+    """
+
+    d_in: int
+    d_out: int = 512
+    use_third_order: bool = False
+    isqrt_iterations: int = 3
+    eps: float = 1e-5
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        graph: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d_second = self.d_out // 2 if self.use_third_order else self.d_out
+        d_third = self.d_out - d_second
+
+        # Row normalization: W = G / rowsum(G)  (simple variant :103-105)
+        w = normalize_graph(graph, "random_walk", eps=self.eps)
+        mu = graph_weighted_mean(tokens, w, eps=self.eps)
+        m2, centered = graph_weighted_covariance(tokens, w, mean=mu, eps=self.eps)
+
+        # Single-matrix NS iteration (no Z coupling): Y <- 0.5 Y (3I - Y^2)
+        # on the trace-normalized matrix, then de-normalize by sqrt(trace).
+        m32 = m2.astype(jnp.float32)
+        dim = m32.shape[-1]
+        trace = jnp.trace(m32, axis1=-2, axis2=-1)[..., None, None]
+        a = m32 / (trace + self.eps)
+        eye = jnp.eye(dim, dtype=jnp.float32)
+        y = a
+        for _ in range(self.isqrt_iterations):
+            y2 = jnp.matmul(y, y, preferred_element_type=jnp.float32)
+            y = 0.5 * jnp.matmul(y, 3.0 * eye - y2, preferred_element_type=jnp.float32)
+        sqrt_m = (y * jnp.sqrt(trace + self.eps)).astype(self.dtype)
+
+        m2_vec = half_vectorize(sqrt_m)
+        x = nn.Dense(d_second, dtype=self.dtype, name="second_proj")(m2_vec)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        features = [x]
+
+        if self.use_third_order:
+            # random projection + elementwise cube (simple variant :150-162)
+            pooled = degree_weighted_centered_mean(centered, w, eps=self.eps)
+            proj = nn.Dense(d_third, use_bias=False, dtype=self.dtype, name="third_rp")(
+                pooled
+            )
+            y3 = proj**3
+            y3 = nn.Dropout(self.dropout)(y3, deterministic=deterministic)
+            features.append(y3)
+
+        return jnp.concatenate(features, axis=-1)

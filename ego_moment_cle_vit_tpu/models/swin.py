@@ -1,0 +1,314 @@
+"""Swin Transformer backbone in Flax.
+
+TPU-native stand-in for the reference's timm Swin backbones (the flagship
+config uses ``swin_large_patch4_window7_224``; /root/reference/configs/
+ufg_base.yaml:7, wrapped via cle_vit_backbone.py:198-204).  The wrapper in
+``backbone.py`` mean-pools our [B, N, D] output for the global feature,
+matching the reference's Swin path (cle_vit_backbone.py:238-248).
+
+Architecture follows Liu et al. 2021: 4 stages of shifted-window attention
+with relative position bias, patch merging between stages.
+
+TPU notes
+---------
+* Window partition/reverse are pure reshapes/transposes — zero-copy layout
+  changes under XLA.
+* The shifted-window attention mask is computed with numpy at trace time
+  (static resolutions) and baked into the graph as a constant.
+* All attention is batched over (batch x windows) so the MXU sees one large
+  [B*nW, 49, 49] einsum per block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    img_size: int = 224
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)
+
+    def num_output_tokens(self, img_size: int | None = None) -> int:
+        s = img_size or self.img_size
+        out = s // self.patch_size // 2 ** (len(self.depths) - 1)
+        return out * out
+
+
+SWIN_CONFIGS = {
+    "swin_tiny_patch4_window7_224": SwinConfig(
+        embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)
+    ),
+    "swin_small_patch4_window7_224": SwinConfig(
+        embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)
+    ),
+    "swin_base_patch4_window7_224": SwinConfig(
+        embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)
+    ),
+    "swin_large_patch4_window7_224": SwinConfig(
+        embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)
+    ),
+    # timm tag aliases used by the reference config (ufg_base.yaml:7)
+    "swin_large_patch4_window7_224.ms_in22k_ft_in1k": SwinConfig(
+        embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)
+    ),
+}
+
+
+def _window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*nW, ws*ws, C]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def _window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    """[B*nW, ws*ws, C] -> [B, H, W, C]."""
+    nw = (h // ws) * (w // ws)
+    b = windows.shape[0] // nw
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    """Static [ws*ws, ws*ws] index into the (2ws-1)^2 bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")
+    )  # [2, ws, ws]
+    coords_flat = coords.reshape(2, -1)
+    relative = coords_flat[:, :, None] - coords_flat[:, None, :]  # [2, N, N]
+    relative = relative.transpose(1, 2, 0) + (ws - 1)
+    return relative[..., 0] * (2 * ws - 1) + relative[..., 1]
+
+
+def _attn_mask(
+    h: int, w: int, hp: int, wp: int, ws: int, shift: int
+) -> np.ndarray | None:
+    """Static attention mask for (padded and/or shifted) windows.
+
+    Region ids follow the standard 3x3 shifted-window scheme on the padded
+    canvas; pad positions get a sentinel id so real tokens never attend pad
+    tokens.  Returns [nW, ws*ws, ws*ws] additive mask (0 / -100), or None
+    when nothing needs masking.
+    """
+    if shift == 0 and hp == h and wp == w:
+        return None
+    ids = np.zeros((hp, wp), dtype=np.float32)
+    if shift > 0:
+        cnt = 1
+        for hs in (slice(0, hp - ws), slice(hp - ws, hp - shift), slice(hp - shift, hp)):
+            for wsl in (
+                slice(0, wp - ws),
+                slice(wp - ws, wp - shift),
+                slice(wp - shift, wp),
+            ):
+                ids[hs, wsl] = cnt
+                cnt += 1
+    ids[h:, :] = -1.0  # pad sentinel (assigned after regions, survives roll)
+    ids[:, w:] = -1.0
+    if shift > 0:
+        ids = np.roll(ids, (-shift, -shift), axis=(0, 1))
+    idw = (
+        ids.reshape(hp // ws, ws, wp // ws, ws)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, ws * ws)
+    )
+    diff = idw[:, None, :] - idw[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    num_heads: int
+    window_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """x: [B*nW, N, C]; mask: [nW, N, N] or None."""
+        bnw, n, c = x.shape
+        head_dim = c // self.num_heads
+        ws = self.window_size
+
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = head_dim**-0.5
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+        )  # [B*nW, H, N, N]
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads),
+        )
+        rel_index = jnp.asarray(_relative_position_index(ws).reshape(-1))
+        bias = bias_table[rel_index].reshape(n, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bnw, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bnw, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float
+    input_resolution: Tuple[int, int]
+    layer_norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, H*W, C]."""
+        h, w = self.input_resolution
+        b, n, c = x.shape
+        # Clamp window to the resolution and pad up to a multiple of it, so
+        # any input size works (224 divides evenly; e.g. 448 -> 112 needs
+        # window-7 padding at no stage; 64 -> 16 pads to 21).  Shift is
+        # disabled when a single window covers the whole map.
+        ws = min(self.window_size, h, w)
+        shift = self.shift_size if (self.shift_size > 0 and min(h, w) > ws) else 0
+        if shift >= ws:
+            shift = ws // 2
+        hp = -(-h // ws) * ws
+        wp = -(-w // ws) * ws
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+        if hp != h or wp != w:
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+
+        mask_np = _attn_mask(h, w, hp, wp, ws, shift)
+        mask = jnp.asarray(mask_np) if mask_np is not None else None
+
+        windows = _window_partition(x, ws)  # [B*nW, ws*ws, C]
+        attn_out = WindowAttention(
+            self.num_heads, ws, dtype=self.dtype, name="attn"
+        )(windows, mask)
+        x = _window_reverse(attn_out, ws, hp, wp)
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        if hp != h or wp != w:
+            x = x[:, :h, :w]
+
+        x = shortcut + x.reshape(b, n, c)
+
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """Downsample 2x: [B, H*W, C] -> [B, H/2*W/2, 2C]."""
+
+    input_resolution: Tuple[int, int]
+    layer_norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, w = self.input_resolution
+        b, n, c = x.shape
+        x = x.reshape(b, h, w, c)
+        # gather the 2x2 neighborhood (order matches the original Swin impl:
+        # x0=(0::2,0::2), x1=(1::2,0::2), x2=(0::2,1::2), x3=(1::2,1::2))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, n // 4, 4 * c)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm")(x)
+        return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class Swin(nn.Module):
+    """Swin Transformer returning final-stage tokens [B, N, D]."""
+
+    config: SwinConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed_proj",
+        )(images.astype(self.dtype))
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="patch_embed_norm"
+        )(x)
+        if cfg.drop_rate > 0:
+            x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        res = (h, w)
+        for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+            for blk in range(depth):
+                shift = 0 if blk % 2 == 0 else cfg.window_size // 2
+                x = SwinBlock(
+                    num_heads=heads,
+                    window_size=cfg.window_size,
+                    shift_size=shift,
+                    mlp_ratio=cfg.mlp_ratio,
+                    input_resolution=res,
+                    layer_norm_eps=cfg.layer_norm_eps,
+                    dtype=self.dtype,
+                    name=f"stage{stage}_block{blk}",
+                )(x)
+            if stage < len(cfg.depths) - 1:
+                x = PatchMerging(
+                    res,
+                    layer_norm_eps=cfg.layer_norm_eps,
+                    dtype=self.dtype,
+                    name=f"stage{stage}_downsample",
+                )(x)
+                res = (res[0] // 2, res[1] // 2)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm")(x)
+        return x  # [B, N, D]

@@ -1,0 +1,218 @@
+"""Graph-weighted moment pooling math: weighted mean/covariance, Newton–Schulz
+matrix square roots, half-vectorization, PSD utilities.
+
+Capability parity with the reference moment head math
+(/root/reference/src/models/moment_head.py:15-322) and the matrix helpers in
+/root/reference/src/utils/ops.py:100-235.
+
+TPU notes
+---------
+* Newton–Schulz is the latency target (O(B * k * D^3) batched matmuls on the
+  MXU).  It is numerically fragile in low precision, so these functions PIN
+  fp32 internally regardless of the input dtype (the reference disables CUDA
+  autocast around it for the same reason, moment_head_optimized.py:212) and
+  cast back at the end.
+* The iteration is a ``lax.fori_loop``-free static unroll: ``num_iterations``
+  is a small static int (3-7), so unrolling lets XLA overlap the four batched
+  matmuls per step and keep Y/Z resident.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Newton–Schulz iterations
+# ---------------------------------------------------------------------------
+
+
+def newton_schulz_isqrt(
+    matrix: jnp.ndarray, num_iterations: int = 3, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Coupled Newton–Schulz iteration for M^{-1/2} (iSQRT-COV).
+
+    Matches reference moment_head.py:28-70: trace-normalize, Y0 = I, Z0 = M,
+    k steps of  Y <- 0.5 * Y (3I - ZY),  Z <- 0.5 * (3I - YZ) Z,
+    then rescale by 1/sqrt(trace).
+
+    Args:
+      matrix: [B, D, D] (or [..., D, D]) PSD matrices.
+    Returns:
+      [..., D, D] approximate inverse square roots, in the input dtype.
+    """
+    in_dtype = matrix.dtype
+    m = matrix.astype(jnp.float32)
+    dim = m.shape[-1]
+
+    trace = jnp.trace(m, axis1=-2, axis2=-1)[..., None, None]  # [..., 1, 1]
+    m = m / (trace + eps)
+
+    eye = jnp.eye(dim, dtype=jnp.float32)
+    y = jnp.broadcast_to(eye, m.shape)
+    z = m
+    for _ in range(num_iterations):
+        zy = jnp.matmul(z, y, preferred_element_type=jnp.float32)
+        yz = jnp.matmul(y, z, preferred_element_type=jnp.float32)
+        y = 0.5 * jnp.matmul(y, 3.0 * eye - zy, preferred_element_type=jnp.float32)
+        z = 0.5 * jnp.matmul(3.0 * eye - yz, z, preferred_element_type=jnp.float32)
+
+    isqrt = y / jnp.sqrt(trace + eps)
+    return isqrt.astype(in_dtype)
+
+
+def newton_schulz_sqrt(
+    matrix: jnp.ndarray, num_iterations: int = 10, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Coupled Newton–Schulz iteration for the +1/2 power M^{1/2}.
+
+    Matches reference utils/ops.py:122-165 (which returns Y * sqrt(trace)).
+    """
+    in_dtype = matrix.dtype
+    m = matrix.astype(jnp.float32)
+    dim = m.shape[-1]
+
+    trace = jnp.trace(m, axis1=-2, axis2=-1)[..., None, None]
+    m = m / (trace + eps)
+
+    eye = jnp.eye(dim, dtype=jnp.float32)
+    y = m
+    z = jnp.broadcast_to(eye, m.shape)
+    for _ in range(num_iterations):
+        t = 0.5 * (3.0 * eye - jnp.matmul(z, y, preferred_element_type=jnp.float32))
+        y = jnp.matmul(y, t, preferred_element_type=jnp.float32)
+        z = jnp.matmul(t, z, preferred_element_type=jnp.float32)
+
+    sqrt_m = y * jnp.sqrt(trace + eps)
+    return sqrt_m.astype(in_dtype)
+
+
+def matrix_power_eigen(
+    matrix: jnp.ndarray, power: float, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Arbitrary matrix power via eigendecomposition of a symmetric matrix.
+
+    Eigenvalues are clamped to >= eps before the (possibly negative /
+    fractional) power, as in reference utils/ops.py:168-194.  Not a hot-path
+    op on TPU (eigh is expensive); used for tests and diagnostics.
+    """
+    sym = 0.5 * (matrix + jnp.swapaxes(matrix, -1, -2))
+    eigvals, eigvecs = jnp.linalg.eigh(sym.astype(jnp.float32))
+    eigvals = jnp.maximum(eigvals, eps) ** power
+    out = jnp.einsum("...ij,...j,...kj->...ik", eigvecs, eigvals, eigvecs)
+    return out.astype(matrix.dtype)
+
+
+def check_psd(matrix: jnp.ndarray, tol: float = -1e-6) -> jnp.ndarray:
+    """Boolean per-matrix PSD check via min eigenvalue >= tol
+    (reference utils/ops.py:197-213)."""
+    sym = 0.5 * (matrix + jnp.swapaxes(matrix, -1, -2))
+    eigvals = jnp.linalg.eigvalsh(sym.astype(jnp.float32))
+    return eigvals[..., 0] >= tol
+
+
+def ensure_psd(matrix: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Project to the PSD cone by clamping eigenvalues
+    (reference utils/ops.py:216-235)."""
+    sym = 0.5 * (matrix + jnp.swapaxes(matrix, -1, -2))
+    eigvals, eigvecs = jnp.linalg.eigh(sym.astype(jnp.float32))
+    eigvals = jnp.maximum(eigvals, eps)
+    out = jnp.einsum("...ij,...j,...kj->...ik", eigvecs, eigvals, eigvecs)
+    return out.astype(matrix.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Half-vectorization
+# ---------------------------------------------------------------------------
+
+
+def half_vectorize(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Upper-triangle (incl. diagonal) of a symmetric matrix, row-major.
+
+    [..., D, D] -> [..., D*(D+1)/2], ordered (0,0),(0,1)..(0,D-1),(1,1),...
+    — the same ordering as torch.triu_indices, so projections trained against
+    the reference line up (reference moment_head.py:202-220,
+    utils/ops.py:100-119).
+
+    TPU note: implemented as a flat static gather; XLA lowers it to one
+    contiguous gather, no scatter needed.
+    """
+    dim = matrix.shape[-1]
+    rows, cols = jnp.triu_indices(dim)
+    flat = matrix.reshape(*matrix.shape[:-2], dim * dim)
+    return flat[..., rows * dim + cols]
+
+
+def half_vectorize_dim(dim: int) -> int:
+    """Length of the half-vectorized representation: D*(D+1)/2."""
+    return dim * (dim + 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Graph-weighted statistics
+# ---------------------------------------------------------------------------
+
+
+def graph_weighted_mean(
+    tokens: jnp.ndarray, weights: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """mu = (Z^T W 1) / tr(W)   (reference moment_head.py:222-244).
+
+    Args:
+      tokens:  [B, N, D]
+      weights: [B, N, N] normalized graph weights.
+    Returns:
+      [B, D] weighted means.
+    """
+    row_sums = jnp.sum(weights, axis=-1)  # [B, N] == W @ 1
+    weighted_sum = jnp.einsum(
+        "bnd,bn->bd", tokens, row_sums, preferred_element_type=jnp.float32
+    )
+    trace_w = jnp.trace(weights, axis1=-2, axis2=-1)[..., None]  # [B, 1]
+    return (weighted_sum / (trace_w + eps)).astype(tokens.dtype)
+
+
+def graph_weighted_covariance(
+    tokens: jnp.ndarray,
+    weights: jnp.ndarray,
+    mean: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """M2 = (Z - mu)^T W (Z - mu)  (reference moment_head.py:288-293).
+
+    Returns (M2 [B, D, D], centered tokens [B, N, D]).  Accumulates the two
+    batched matmuls in fp32 on the MXU.
+    """
+    if mean is None:
+        mean = graph_weighted_mean(tokens, weights, eps=eps)
+    centered = tokens - mean[:, None, :]
+    weighted = jnp.einsum(
+        "bnm,bmd->bnd", weights, centered, preferred_element_type=jnp.float32
+    )
+    m2 = jnp.einsum(
+        "bnd,bne->bde",
+        centered.astype(jnp.float32),
+        weighted,
+        preferred_element_type=jnp.float32,
+    )
+    return m2.astype(tokens.dtype), centered
+
+
+def degree_weighted_centered_mean(
+    centered: jnp.ndarray, weights: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Third-order input vector: sum_n Zc[n] * rowsum(W)[n] / (tr W).
+
+    Matches reference moment_head.py:304-311 (``W @ ones`` broadcasts the row
+    sums over the feature dim; we compute the row sums directly).
+    """
+    row_sums = jnp.sum(weights, axis=-1)  # [B, N]
+    weighted = jnp.einsum(
+        "bnd,bn->bd", centered, row_sums, preferred_element_type=jnp.float32
+    )
+    trace_w = jnp.trace(weights, axis1=-2, axis2=-1)[..., None]
+    return (weighted / (trace_w + eps)).astype(centered.dtype)
