@@ -1,0 +1,32 @@
+"""Data layer: UFG parquet datasets, on-device dual-view augmentation, and
+the host->device input pipeline."""
+
+from .ufgvc import UFGVCDataset, SyntheticUFGDataset, DATASETS, compare_datasets
+from .augment import (
+    AugmentConfig,
+    dual_view_train_batch,
+    dual_view_eval_batch,
+    random_rect_mask,
+    grid_shuffle,
+    color_jitter,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+from .pipeline import BatchLoader, shard_batch
+
+__all__ = [
+    "UFGVCDataset",
+    "SyntheticUFGDataset",
+    "DATASETS",
+    "compare_datasets",
+    "AugmentConfig",
+    "dual_view_train_batch",
+    "dual_view_eval_batch",
+    "random_rect_mask",
+    "grid_shuffle",
+    "color_jitter",
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+    "BatchLoader",
+    "shard_batch",
+]

@@ -1,0 +1,304 @@
+"""On-device dual-view augmentation (the CLE-ViT positive-view generator).
+
+The reference runs its entire augmentation chain per-sample on CPU workers
+with PIL/numpy (/root/reference/src/models/cle_vit_backbone.py:21-167:
+Resize -> RandomCrop -> HFlip -> ColorJitter -> RandomRotation for both
+views, plus rectangular masking + 4x4 tile shuffling for the positive view,
+then ToTensor + ImageNet normalize).  Per BASELINE.json's north star, this
+framework moves the whole chain on device: one jitted, batched XLA program
+over uint8 [B, S, S, 3] inputs, fused into the training step so the only
+host->device transfer is the raw resized bytes.
+
+Parity is **distributional**, not RNG-stream-exact (impossible across PIL /
+``random`` vs ``jax.random``; SURVEY.md §7 hard-part #4): each op draws the
+same distribution over the same parameter ranges as the reference.
+
+Known divergences (documented):
+* ColorJitter sub-ops apply in fixed order brightness->contrast->saturation
+  ->hue; torchvision shuffles the order per sample.
+* RandomRotation uses bilinear resampling with zero fill; PIL uses nearest
+  by default.  Both affect pixels, not distributional semantics of training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Mirrors the reference transform knobs (cle_vit_backbone.py:108-141 and
+    configs/ufg_base.yaml:71-91) — including the config keys the reference
+    reads but never plumbs (grid_size, jitter strengths; ledger #5)."""
+
+    input_size: int = 448
+    resize_size: int = 600
+    hflip_prob: float = 0.5
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+    hue: float = 0.1
+    rotation_degrees: float = 10.0
+    mask_ratio: Tuple[float, float] = (0.15, 0.45)
+    grid_size: int = 4
+    mask_value: float = 0.0
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+
+
+# ---------------------------------------------------------------------------
+# Color ops (all on [H, W, 3] float32 in [0, 1])
+# ---------------------------------------------------------------------------
+
+
+def _grayscale(img: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
+def _adjust_brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def _adjust_contrast(img, factor):
+    mean = jnp.mean(_grayscale(img))
+    return jnp.clip((img - mean) * factor + mean, 0.0, 1.0)
+
+
+def _adjust_saturation(img, factor):
+    gray = _grayscale(img)
+    return jnp.clip((img - gray) * factor + gray, 0.0, 1.0)
+
+
+def _rgb_to_hsv(img: jnp.ndarray):
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
+    safe_delta = jnp.maximum(delta, 1e-8)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _adjust_hue(img, shift):
+    h, s, v = _rgb_to_hsv(img)
+    return jnp.clip(_hsv_to_rgb((h + shift) % 1.0, s, v), 0.0, 1.0)
+
+
+def color_jitter(img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """torchvision.ColorJitter(0.2, 0.2, 0.2, 0.1) parameter ranges:
+    factor ~ U[max(0, 1-x), 1+x], hue shift ~ U[-h, h]."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    if cfg.brightness > 0:
+        f = jax.random.uniform(
+            kb, (), minval=max(0.0, 1 - cfg.brightness), maxval=1 + cfg.brightness
+        )
+        img = _adjust_brightness(img, f)
+    if cfg.contrast > 0:
+        f = jax.random.uniform(
+            kc, (), minval=max(0.0, 1 - cfg.contrast), maxval=1 + cfg.contrast
+        )
+        img = _adjust_contrast(img, f)
+    if cfg.saturation > 0:
+        f = jax.random.uniform(
+            ks, (), minval=max(0.0, 1 - cfg.saturation), maxval=1 + cfg.saturation
+        )
+        img = _adjust_saturation(img, f)
+    if cfg.hue > 0:
+        shift = jax.random.uniform(kh, (), minval=-cfg.hue, maxval=cfg.hue)
+        img = _adjust_hue(img, shift)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Geometric ops
+# ---------------------------------------------------------------------------
+
+
+def random_crop(img: jnp.ndarray, key: jax.Array, out_size: int) -> jnp.ndarray:
+    """[S, S, C] -> [out, out, C] at a uniform random offset."""
+    s = img.shape[0]
+    ky, kx = jax.random.split(key)
+    y0 = jax.random.randint(ky, (), 0, s - out_size + 1)
+    x0 = jax.random.randint(kx, (), 0, s - out_size + 1)
+    return jax.lax.dynamic_slice(img, (y0, x0, 0), (out_size, out_size, img.shape[2]))
+
+
+def center_crop(img: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    s = img.shape[0]
+    off = (s - out_size) // 2
+    return jax.lax.dynamic_slice(img, (off, off, 0), (out_size, out_size, img.shape[2]))
+
+
+def random_hflip(img: jnp.ndarray, key: jax.Array, prob: float) -> jnp.ndarray:
+    flip = jax.random.bernoulli(key, prob)
+    return jnp.where(flip, img[:, ::-1, :], img)
+
+
+def rotate(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
+    """Rotate about the center by ``angle_deg`` (bilinear, zero fill)."""
+    h, w = img.shape[0], img.shape[1]
+    theta = angle_deg * jnp.pi / 180.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # inverse map: source coords for each destination pixel
+    src_y = cos * yy - sin * xx + cy
+    src_x = sin * yy + cos * xx + cx
+    coords = jnp.stack([src_y.ravel(), src_x.ravel()])
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, coords, order=1, mode="constant", cval=0.0
+        ).reshape(h, w)
+
+    return jnp.stack(
+        [sample_channel(img[..., c]) for c in range(img.shape[-1])], axis=-1
+    )
+
+
+def random_rotate(img: jnp.ndarray, key: jax.Array, degrees: float) -> jnp.ndarray:
+    angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees)
+    return rotate(img, angle)
+
+
+# ---------------------------------------------------------------------------
+# CLE-ViT positive-view ops: rectangular mask + grid shuffle
+# ---------------------------------------------------------------------------
+
+
+def random_rect_mask(
+    img: jnp.ndarray,
+    key: jax.Array,
+    ratio_range: Tuple[float, float],
+    mask_value: float = 0.0,
+) -> jnp.ndarray:
+    """Area-ratio rectangular mask (reference cle_vit_backbone.py:61-71):
+    ratio ~ U[lo, hi]; mask side = floor(dim * sqrt(ratio)); uniform random
+    position; fill with ``mask_value``."""
+    h, w = img.shape[0], img.shape[1]
+    kr, ky, kx = jax.random.split(key, 3)
+    ratio = jax.random.uniform(kr, (), minval=ratio_range[0], maxval=ratio_range[1])
+    mask_h = jnp.floor(h * jnp.sqrt(ratio)).astype(jnp.int32)
+    mask_w = jnp.floor(w * jnp.sqrt(ratio)).astype(jnp.int32)
+    y0 = jax.random.randint(ky, (), 0, jnp.maximum(1, h - mask_h) + 1)
+    x0 = jax.random.randint(kx, (), 0, jnp.maximum(1, w - mask_w) + 1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (yy >= y0) & (yy < y0 + mask_h) & (xx >= x0) & (xx < x0 + mask_w)
+    return jnp.where(inside[..., None], jnp.asarray(mask_value, img.dtype), img)
+
+
+def grid_shuffle(img: jnp.ndarray, key: jax.Array, grid_size: int) -> jnp.ndarray:
+    """Uniform random permutation of an s x s tile grid (reference
+    cle_vit_backbone.py:73-95).  Pure reshape + one gather — TPU-friendly."""
+    s = grid_size
+    h, w, c = img.shape
+    gh, gw = h // s, w // s
+    tiles = img[: gh * s, : gw * s].reshape(s, gh, s, gw, c)
+    tiles = tiles.transpose(0, 2, 1, 3, 4).reshape(s * s, gh, gw, c)
+    perm = jax.random.permutation(key, s * s)
+    shuffled = tiles[perm]
+    out = shuffled.reshape(s, s, gh, gw, c).transpose(0, 2, 1, 3, 4)
+    return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Full dual-view pipelines
+# ---------------------------------------------------------------------------
+
+
+def normalize(img: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
+    mean = jnp.asarray(cfg.mean, img.dtype)
+    std = jnp.asarray(cfg.std, img.dtype)
+    return (img - mean) / std
+
+
+def _base_augment(img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """The shared 'standard augmentation' chain (reference :121-127):
+    RandomCrop -> HFlip -> ColorJitter -> RandomRotation.  Input is the
+    host-resized [S, S, 3] float in [0, 1]."""
+    kc, kf, kj, kr = jax.random.split(key, 4)
+    img = random_crop(img, kc, cfg.input_size)
+    img = random_hflip(img, kf, cfg.hflip_prob)
+    img = color_jitter(img, kj, cfg)
+    if cfg.rotation_degrees > 0:
+        img = random_rotate(img, kr, cfg.rotation_degrees)
+    return img
+
+
+def _positive_augment(img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """Mask + grid shuffle applied AFTER the base chain, BEFORE normalize —
+    same composition point as the reference (:158-162)."""
+    km, ks = jax.random.split(key)
+    img = random_rect_mask(img, km, cfg.mask_ratio, cfg.mask_value)
+    return grid_shuffle(img, ks, cfg.grid_size)
+
+
+def _train_sample(img_u8: jnp.ndarray, key: jax.Array, cfg: AugmentConfig):
+    """uint8 [S, S, 3] -> (anchor, positive) float32 normalized [I, I, 3].
+
+    The two views draw INDEPENDENT base augmentations, exactly like the
+    reference's two ``base_transform`` calls (:155, :160)."""
+    img = img_u8.astype(jnp.float32) / 255.0
+    ka, kp, kpa = jax.random.split(key, 3)
+    anchor = _base_augment(img, ka, cfg)
+    positive = _base_augment(img, kp, cfg)
+    positive = _positive_augment(positive, kpa, cfg)
+    return normalize(anchor, cfg), normalize(positive, cfg)
+
+
+def _eval_sample(img_u8: jnp.ndarray, cfg: AugmentConfig):
+    """Eval path: CenterCrop, positive := anchor (reference :129-132, :164)."""
+    img = img_u8.astype(jnp.float32) / 255.0
+    img = center_crop(img, cfg.input_size)
+    anchor = normalize(img, cfg)
+    return anchor, anchor
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dual_view_train_batch(
+    images_u8: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
+):
+    """Batched on-device training augmentation.
+
+    [B, S, S, 3] uint8 + key -> (anchor, positive) [B, I, I, 3] float32.
+    """
+    keys = jax.random.split(key, images_u8.shape[0])
+    return jax.vmap(lambda i, k: _train_sample(i, k, cfg))(images_u8, keys)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dual_view_eval_batch(images_u8: jnp.ndarray, cfg: AugmentConfig):
+    """Batched on-device eval preprocessing."""
+    return jax.vmap(lambda i: _eval_sample(i, cfg))(images_u8)

@@ -1,0 +1,116 @@
+"""Host-side input pipeline: parallel decode -> batched uint8 -> device.
+
+The reference feeds a torch DataLoader with 8 CPU workers doing full PIL
+augmentation per sample (SURVEY.md §3.1 hot path).  Here the host only
+decodes + resizes (the parts that genuinely need the CPU); batching,
+augmentation, and normalization are on-device XLA (see .augment).
+
+``BatchLoader`` is a minimal deterministic sampler/loader:
+  * epoch-seeded shuffling (``numpy`` Philox — reproducible across runs),
+  * thread-pool decode (JPEG decode releases the GIL inside PIL),
+  * drop_last for static batch shapes (XLA requires them),
+  * an optional background prefetch of the next batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterates (images_u8 [B, S, S, 3], labels [B]) numpy batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle per epoch (deterministic resume)."""
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng([self.seed, self.epoch])
+        return rng.permutation(n)
+
+    def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
+        samples = list(pool.map(self.dataset.__getitem__, idxs))
+        images = np.stack([s[0] for s in samples])
+        labels = np.asarray([s[1] for s in samples], np.int32)
+        return images, labels
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self._order()
+        nb = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.prefetch <= 0:
+                for idxs in batches:
+                    yield self._load_batch(idxs, pool)
+                return
+
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            stop = object()
+
+            def producer():
+                try:
+                    for idxs in batches:
+                        q.put(self._load_batch(idxs, pool))
+                finally:
+                    q.put(stop)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+            t.join()
+
+
+def shard_batch(batch, mesh, data_axis: str = "data"):
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Works for single- and multi-device meshes; with one device this is a
+    plain device_put.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        spec = P(data_axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)

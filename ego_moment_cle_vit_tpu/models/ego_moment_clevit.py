@@ -201,6 +201,40 @@ class EGOMomentCLEViT(nn.Module):
             )
         return loss_dict
 
+    def ablation_forward(
+        self, anchor: jnp.ndarray, positive: jnp.ndarray, mode: str = "full"
+    ) -> jnp.ndarray:
+        """Checkpoint-compatible ablations (the reference's eval.py declares
+        an ablation study but stubs it out, eval.py:401-411; these run for
+        real on trained weights):
+
+        'full'           — standard forward.
+        'no_gpf'         — identity relation graph instead of the fused one.
+        'uniform_graph'  — all-ones graph (pure unweighted moment pooling).
+        'cls_only'       — bypass moments; logits from the auxiliary
+                           per-view classifier.
+        """
+        if mode == "cls_only":
+            feats = self.backbone.forward_single(anchor, deterministic=True)
+            return self.cls_only_classifier(feats["global_features"])
+
+        anchor_features, positive_features = self.backbone(
+            anchor, positive, deterministic=True
+        )
+        tokens = anchor_features["patch_tokens"]
+        global_features = anchor_features["global_features"]
+        b, n, _ = tokens.shape
+        if mode == "no_gpf":
+            graph = jnp.broadcast_to(jnp.eye(n, dtype=tokens.dtype), (b, n, n))
+        elif mode == "uniform_graph":
+            graph = jnp.ones((b, n, n), tokens.dtype)
+        elif mode == "full":
+            graph = self.gpf(tokens, positive_features["patch_tokens"])
+        else:
+            raise ValueError(f"Unknown ablation mode: {mode}")
+        moment_features = self.moment_head(tokens, graph, deterministic=True)
+        return self.classifier(global_features, moment_features, deterministic=True)
+
     def inference(self, images: jnp.ndarray) -> jnp.ndarray:
         """Single-view inference: ONE backbone pass, R_p := R_a.
 

@@ -1,0 +1,279 @@
+"""Evaluator engine.
+
+Capability parity with the reference Evaluator (/root/reference/eval.py:47-432)
+— but actually runnable.  The reference's eval.py is broken as shipped
+(ledger #3: bad sys.path, a nonexistent dataset attribute, and a transform/
+collate mismatch, eval.py:26,:28,:123-128,:150,:210-213); this one is wired
+into the same data/model stack as training.
+
+Covers: top-1 / top-5 accuracy, macro mean-per-class recall + full per-class
+report (reference :197-271 uses sklearn; computed directly here),
+feature collection, visualization suite, results.json dump, and a REAL
+ablation study (the reference stubs it, :401-411).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import BatchLoader, dual_view_eval_batch, shard_batch
+from ..models import create_model
+from ..parallel import create_mesh, shard_params
+from .state import restore_checkpoint
+from .trainer import _augment_config, _make_dataset
+
+
+def classification_metrics(
+    labels: np.ndarray, logits: np.ndarray, class_names
+) -> Dict[str, Any]:
+    """top1/top5, macro per-class recall, per-class report."""
+    preds = logits.argmax(-1)
+    top1 = float((preds == labels).mean())
+    k = min(5, logits.shape[-1])
+    topk = np.argsort(-logits, axis=-1)[:, :k]
+    top5 = float((topk == labels[:, None]).any(-1).mean())
+
+    per_class = {}
+    recalls = []
+    for ci, cname in enumerate(class_names):
+        mask = labels == ci
+        support = int(mask.sum())
+        if support == 0:
+            continue
+        recall = float((preds[mask] == ci).mean())
+        pred_mask = preds == ci
+        precision = float((labels[pred_mask] == ci).mean()) if pred_mask.any() else 0.0
+        f1 = (
+            2 * precision * recall / (precision + recall)
+            if precision + recall > 0
+            else 0.0
+        )
+        per_class[cname] = {
+            "precision": precision,
+            "recall": recall,
+            "f1": f1,
+            "support": support,
+        }
+        recalls.append(recall)
+    return {
+        "top1_accuracy": top1,
+        "top5_accuracy": top5,
+        "mean_per_class_recall": float(np.mean(recalls)) if recalls else 0.0,
+        "per_class": per_class,
+    }
+
+
+class Evaluator:
+    """``Evaluator(config, checkpoint_path).evaluate()`` -> results dict."""
+
+    def __init__(self, config: Dict[str, Any], checkpoint_path: Optional[str] = None):
+        self.config = config
+        self.checkpoint_path = checkpoint_path
+        exp = config.get("experiment", {})
+        self.output_dir = Path(exp.get("output_dir", "./outputs")) / "evaluation"
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = create_mesh(model=1)
+        self.aug_cfg = _augment_config(config)
+        self.variables: Optional[Dict[str, Any]] = None
+
+    def setup_data(self) -> None:
+        try:
+            self.dataset = _make_dataset(self.config, "test")
+        except ValueError:
+            print("No test split found; falling back to val")
+            self.dataset = _make_dataset(self.config, "val")
+        batch = int(self.config.get("training", {}).get("batch_size", 64))
+        self.loader = BatchLoader(
+            self.dataset,
+            batch_size=batch,
+            shuffle=False,
+            drop_last=False,
+            num_workers=int(self.config.get("data", {}).get("num_workers", 8)),
+        )
+        self.num_classes = len(self.dataset.classes)
+
+    def load_model(self) -> None:
+        if self.checkpoint_path is not None:
+            bundle = restore_checkpoint(self.checkpoint_path)
+            # merge the checkpoint's embedded config (reference eval.py:164-165)
+            ckpt_cfg = bundle.get("config") or {}
+            for key, val in ckpt_cfg.get("model", {}).items():
+                self.config.setdefault("model", {}).setdefault(key, val)
+            self.model = create_model(self.config, self.num_classes)
+            self.variables = {"params": bundle["params"]}
+            if bundle.get("batch_stats") is not None:
+                self.variables["batch_stats"] = bundle["batch_stats"]
+            if bundle.get("constants") is not None:
+                self.variables["constants"] = bundle["constants"]
+        else:
+            # fresh weights (smoke evaluation)
+            self.model = create_model(self.config, self.num_classes)
+            size = self.aug_cfg.input_size
+            dummy = jnp.zeros((2, size, size, 3), jnp.float32)
+            self.variables = self.model.init(jax.random.PRNGKey(0), dummy, dummy)
+        self.variables = jax.tree_util.tree_map(
+            jnp.asarray, self.variables
+        )
+        self._build_steps()
+
+    def _build_steps(self) -> None:
+        model = self.model
+        variables = self.variables
+        aug_cfg = self.aug_cfg
+
+        @jax.jit
+        def eval_step(images_u8, labels):
+            anchor, positive = dual_view_eval_batch(images_u8, aug_cfg)
+            out = model.apply(
+                variables, anchor, positive, labels, return_features=True
+            )
+            feats = out["features"]
+            return {
+                "logits": out["logits"],
+                "loss": out["loss"],
+                "moment_features": feats["moment_features"],
+                "anchor_global": feats["anchor_global"],
+                "graph_mean": jnp.mean(feats["fused_graph"], axis=(1, 2)),
+            }
+
+        self._eval_step = eval_step
+
+        def make_ablation(mode):
+            @jax.jit
+            def step(images_u8):
+                anchor, positive = dual_view_eval_batch(images_u8, aug_cfg)
+                return model.apply(
+                    variables,
+                    anchor,
+                    positive,
+                    mode,
+                    method=model.ablation_forward,
+                )
+
+            return step
+
+        self._ablation_steps = {
+            mode: make_ablation(mode)
+            for mode in ("no_gpf", "uniform_graph", "cls_only")
+        }
+
+    # -- passes ----------------------------------------------------------------
+
+    def compute_metrics(self) -> Dict[str, Any]:
+        all_logits, all_labels = [], []
+        all_moment, all_global = [], []
+        losses = []
+        t0 = time.perf_counter()
+        n_images = 0
+        for images, labels in self.loader:
+            out = self._eval_step(jnp.asarray(images), jnp.asarray(labels))
+            all_logits.append(np.asarray(out["logits"]))
+            all_labels.append(labels)
+            all_moment.append(np.asarray(out["moment_features"]))
+            all_global.append(np.asarray(out["anchor_global"]))
+            losses.append(float(out["loss"]))
+            n_images += labels.shape[0]
+        elapsed = time.perf_counter() - t0
+
+        logits = np.concatenate(all_logits)
+        labels = np.concatenate(all_labels)
+        self.features = {
+            "moment": np.concatenate(all_moment),
+            "global": np.concatenate(all_global),
+            "labels": labels,
+            "logits": logits,
+        }
+        metrics = classification_metrics(labels, logits, self.dataset.classes)
+        metrics["loss"] = float(np.mean(losses))
+        metrics["images_per_sec"] = n_images / max(elapsed, 1e-9)
+        metrics["num_samples"] = int(labels.shape[0])
+        return metrics
+
+    def run_ablation_study(self) -> Dict[str, float]:
+        """Accuracy of each checkpoint-compatible ablation
+        (reference declares these in configs/ufg_base.yaml:139-154)."""
+        if not self.config.get("ablation", {}).get("enabled", True):
+            return {}
+        results = {}
+        for mode, step in self._ablation_steps.items():
+            correct = total = 0
+            for images, labels in self.loader:
+                logits = np.asarray(step(jnp.asarray(images)))
+                correct += int((logits.argmax(-1) == labels).sum())
+                total += labels.shape[0]
+            results[mode] = correct / max(total, 1)
+        return results
+
+    def generate_visualizations(self) -> None:
+        try:
+            from ..utils import viz
+
+            labels = self.features["labels"]
+            logits = self.features["logits"]
+            viz.plot_confusion_matrix(
+                labels,
+                logits.argmax(-1),
+                class_names=self.dataset.classes,
+                save_path=str(self.output_dir / "confusion_matrix.png"),
+            )
+            viz.plot_feature_embeddings(
+                self.features["moment"],
+                labels,
+                method="pca",
+                save_path=str(self.output_dir / "moment_embeddings.png"),
+            )
+            viz.plot_feature_embeddings(
+                self.features["global"],
+                labels,
+                method="pca",
+                save_path=str(self.output_dir / "global_embeddings.png"),
+            )
+            # GPF coefficient heatmap
+            alpha = self.variables["params"]["gpf"]["alpha_coeffs"]
+            coeffs = np.asarray(jax.nn.softplus(alpha))
+            viz.plot_polynomial_coefficients(
+                coeffs, save_path=str(self.output_dir / "gpf_coefficients.png")
+            )
+        except Exception as exc:  # pragma: no cover - matplotlib optional
+            print(f"visualization skipped: {exc}")
+
+    def save_results(self, metrics: Dict[str, Any], ablations: Dict[str, float]) -> str:
+        payload = {
+            "dataset": self.dataset.dataset_name,
+            "checkpoint": self.checkpoint_path,
+            "metrics": {
+                k: v for k, v in metrics.items() if k != "per_class"
+            },
+            "per_class": metrics.get("per_class", {}),
+            "ablations": ablations,
+        }
+        path = self.output_dir / "results.json"
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+        return str(path)
+
+    def evaluate(self, visualize: bool = True, ablation: bool = True) -> Dict[str, Any]:
+        self.setup_data()
+        self.load_model()
+        metrics = self.compute_metrics()
+        print(
+            f"top1={metrics['top1_accuracy']:.4f} "
+            f"top5={metrics['top5_accuracy']:.4f} "
+            f"mean_recall={metrics['mean_per_class_recall']:.4f} "
+            f"({metrics['images_per_sec']:.1f} img/s)"
+        )
+        ablations = self.run_ablation_study() if ablation else {}
+        if ablations:
+            print("ablations:", {k: f"{v:.4f}" for k, v in ablations.items()})
+        if visualize:
+            self.generate_visualizations()
+        path = self.save_results(metrics, ablations)
+        print(f"results saved to {path}")
+        return {"metrics": metrics, "ablations": ablations}

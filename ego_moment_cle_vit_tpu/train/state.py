@@ -1,0 +1,233 @@
+"""Train state, optimizer/schedule factory, and checkpointing.
+
+Capability parity with the reference's training plumbing:
+* AdamW + cosine schedule (reference train.py:309-324) — and unlike the
+  reference, the ``scheduler.warmup_epochs`` / ``warmup_lr`` /
+  ``accumulation_steps`` config keys are actually implemented (ledger #5;
+  the reference reads none of them, train.py never references warmup).
+* Checkpoints carry ``{step, epoch, params, batch_stats, constants,
+  opt_state, best_val_acc, config}`` — the same logical contents as the
+  reference's ``save_checkpoint`` dict (train.py:448-470) — via orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+
+class EMCTrainState(train_state.TrainState):
+    """TrainState + BatchNorm stats + non-trainable constants (sketch
+    hashes) so one object carries everything a step needs."""
+
+    batch_stats: Any = None
+    constants: Any = None
+
+
+def create_learning_rate_schedule(
+    config: Dict[str, Any], steps_per_epoch: int
+) -> optax.Schedule:
+    """Warmup-cosine from the config's training.{optimizer,scheduler} keys.
+
+    warmup: linear warmup_lr -> lr over warmup_epochs;
+    then cosine decay lr -> min_lr over the remaining epochs.
+    """
+    tcfg = config.get("training", {})
+    opt = tcfg.get("optimizer", {})
+    sched = tcfg.get("scheduler", {})
+    lr = float(opt.get("lr", 3e-4))
+    epochs = int(tcfg.get("epochs", 100))
+    warmup_epochs = int(sched.get("warmup_epochs", 0))
+    warmup_lr = float(sched.get("warmup_lr", 1e-6))
+    min_lr = float(sched.get("min_lr", 1e-6))
+    name = sched.get("name", "cosine")
+
+    warmup_steps = warmup_epochs * steps_per_epoch
+    total_steps = max(epochs * steps_per_epoch, warmup_steps + 1)
+
+    if name == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=warmup_lr if warmup_steps > 0 else lr,
+            peak_value=lr,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=min_lr,
+        )
+    if name == "constant":
+        if warmup_steps > 0:
+            return optax.join_schedules(
+                [
+                    optax.linear_schedule(warmup_lr, lr, warmup_steps),
+                    optax.constant_schedule(lr),
+                ],
+                [warmup_steps],
+            )
+        return optax.constant_schedule(lr)
+    raise ValueError(f"Unknown scheduler: {name}")
+
+
+def create_optimizer(
+    config: Dict[str, Any], steps_per_epoch: int
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clip + optional gradient accumulation."""
+    tcfg = config.get("training", {})
+    opt = tcfg.get("optimizer", {})
+    betas = opt.get("betas", [0.9, 0.999])
+    schedule = create_learning_rate_schedule(config, steps_per_epoch)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(float(tcfg.get("grad_clip", 1.0))),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=float(betas[0]),
+            b2=float(betas[1]),
+            eps=float(opt.get("eps", 1e-8)),
+            weight_decay=float(opt.get("weight_decay", 0.05)),
+        ),
+    )
+    accum = int(tcfg.get("accumulation_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
+def create_train_state(
+    model,
+    variables: Dict[str, Any],
+    config: Dict[str, Any],
+    steps_per_epoch: int,
+) -> EMCTrainState:
+    tx = create_optimizer(config, steps_per_epoch)
+    return EMCTrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats"),
+        constants=variables.get("constants"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def _ckpt_dir(path: str) -> Path:
+    p = Path(path).resolve()
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state: EMCTrainState,
+    epoch: int,
+    best_val_acc: float,
+    config: Dict[str, Any],
+    keep: int = 5,
+    best: bool = False,
+) -> None:
+    """Persist the full training bundle; mirrors the reference checkpoint
+    contract (train.py:448-470: model/optimizer/scheduler state + epoch +
+    best_val_acc + embedded config)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = _ckpt_dir(ckpt_dir)
+    # arrays go through orbax; config + scalar metadata ride as JSON
+    # (StandardCheckpointer rejects strings)
+    arrays = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    if state.batch_stats is not None:
+        arrays["batch_stats"] = jax.device_get(state.batch_stats)
+    if state.constants is not None:
+        arrays["constants"] = jax.device_get(state.constants)
+
+    ckptr = ocp.StandardCheckpointer()
+    name = "best_model" if best else f"checkpoint_epoch_{epoch}"
+    target = path / name
+    if target.exists():
+        import shutil
+
+        shutil.rmtree(target)
+    ckptr.save(target, arrays)
+    ckptr.wait_until_finished()
+    meta = {
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "best_val_acc": float(best_val_acc),
+        "config": config,
+    }
+    # sibling file: orbax owns the checkpoint dir's contents
+    (path / f"{name}.meta.json").write_text(
+        json.dumps(meta, indent=2, default=str)
+    )
+
+    if not best:
+        # prune old epoch checkpoints, keep the most recent ``keep``
+        epochs = sorted(
+            int(p.name.rsplit("_", 1)[1])
+            for p in path.glob("checkpoint_epoch_*")
+            if p.name.rsplit("_", 1)[1].isdigit()
+        )
+        for old in epochs[:-keep]:
+            import shutil
+
+            shutil.rmtree(path / f"checkpoint_epoch_{old}", ignore_errors=True)
+            (path / f"checkpoint_epoch_{old}.meta.json").unlink(missing_ok=True)
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    path = Path(ckpt_dir)
+    if not path.exists():
+        return None
+    epochs = [
+        int(p.name.rsplit("_", 1)[1])
+        for p in path.glob("checkpoint_epoch_*")
+        if p.name.rsplit("_", 1)[1].isdigit()
+    ]
+    return max(epochs) if epochs else None
+
+
+def restore_checkpoint(ckpt_path: str, target: Any = None) -> Dict[str, Any]:
+    """Load a checkpoint bundle saved by :func:`save_checkpoint`.
+
+    ``target`` (optional) is an abstract PyTree with the same structure as
+    the saved arrays — REQUIRED to restore ``opt_state`` into its optax
+    NamedTuple containers (orbax alone restores plain dicts).  Without it,
+    params/constants still come back fine (plain dict trees).
+
+    Returns a flat dict with params/opt_state/batch_stats/constants plus the
+    JSON metadata (step/epoch/best_val_acc/config)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape")
+            else x,
+            target,
+        )
+        bundle = dict(ckptr.restore(path, abstract))
+    else:
+        bundle = dict(ckptr.restore(path))
+    meta_file = path.parent / f"{path.name}.meta.json"
+    if meta_file.exists():
+        bundle.update(json.loads(meta_file.read_text()))
+    bundle.setdefault("batch_stats", None)
+    bundle.setdefault("constants", None)
+    return bundle

@@ -1,0 +1,137 @@
+"""Data layer tests: on-device augmentation distributional/structural
+properties, synthetic dataset, batch loader determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ego_moment_cle_vit_tpu.data import (
+    AugmentConfig,
+    BatchLoader,
+    SyntheticUFGDataset,
+    dual_view_train_batch,
+    dual_view_eval_batch,
+    grid_shuffle,
+    random_rect_mask,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+
+CFG = AugmentConfig(input_size=32, resize_size=48, grid_size=4)
+
+
+def test_train_batch_shapes_and_range(rng):
+    imgs = jnp.asarray(rng.integers(0, 256, (4, 48, 48, 3), dtype=np.uint8))
+    anchor, positive = dual_view_train_batch(imgs, jax.random.PRNGKey(0), CFG)
+    assert anchor.shape == (4, 32, 32, 3)
+    assert positive.shape == (4, 32, 32, 3)
+    # normalized range stays within (0-mean)/std .. (1-mean)/std
+    lo = (0 - max(IMAGENET_MEAN)) / min(IMAGENET_STD)
+    hi = (1 - min(IMAGENET_MEAN)) / min(IMAGENET_STD)
+    assert float(jnp.min(anchor)) >= lo - 1e-3
+    assert float(jnp.max(anchor)) <= hi + 1e-3
+
+
+def test_eval_batch_is_deterministic_and_dual_equal(rng):
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8))
+    a1, p1 = dual_view_eval_batch(imgs, CFG)
+    a2, p2 = dual_view_eval_batch(imgs, CFG)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(p1))  # positive == anchor
+    # center crop of a 48 -> 32: offset 8
+    img0 = np.asarray(imgs[0], np.float32) / 255.0
+    want = (img0[8:40, 8:40] - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(a1[0]), want, atol=1e-5)
+
+
+def test_same_key_reproducible_different_keys_differ(rng):
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8))
+    a1, p1 = dual_view_train_batch(imgs, jax.random.PRNGKey(7), CFG)
+    a2, p2 = dual_view_train_batch(imgs, jax.random.PRNGKey(7), CFG)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+    a3, _ = dual_view_train_batch(imgs, jax.random.PRNGKey(8), CFG)
+    assert not np.allclose(np.asarray(a1), np.asarray(a3))
+
+
+def test_anchor_and_positive_views_differ(rng):
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8))
+    anchor, positive = dual_view_train_batch(imgs, jax.random.PRNGKey(0), CFG)
+    assert not np.allclose(np.asarray(anchor), np.asarray(positive))
+
+
+def test_rect_mask_area_fraction(rng):
+    """Masked-away fraction must land in ~[0.15, 0.45] (area-ratio law,
+    reference cle_vit_backbone.py:61-71)."""
+    img = jnp.ones((64, 64, 3), jnp.float32)
+    fracs = []
+    for seed in range(30):
+        masked = random_rect_mask(
+            img, jax.random.PRNGKey(seed), (0.15, 0.45), 0.0
+        )
+        fracs.append(1.0 - float(jnp.mean(masked)))
+    fracs = np.asarray(fracs)
+    # floor() quantization can undershoot slightly at small sizes
+    assert fracs.min() >= 0.10 and fracs.max() <= 0.50, fracs
+    assert 0.2 <= fracs.mean() <= 0.4
+
+
+def test_grid_shuffle_is_permutation(rng):
+    """Tile shuffle must preserve the multiset of pixels and move tiles as
+    units (reference cle_vit_backbone.py:73-95)."""
+    img = jnp.asarray(rng.standard_normal((32, 32, 3)).astype(np.float32))
+    out = grid_shuffle(img, jax.random.PRNGKey(3), 4)
+    # same multiset of pixel values
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out).ravel()), np.sort(np.asarray(img).ravel()), atol=0
+    )
+    # each 8x8 output tile equals SOME input tile exactly
+    tiles_in = np.asarray(img).reshape(4, 8, 4, 8, 3).transpose(0, 2, 1, 3, 4).reshape(16, -1)
+    tiles_out = np.asarray(out).reshape(4, 8, 4, 8, 3).transpose(0, 2, 1, 3, 4).reshape(16, -1)
+    for t in tiles_out:
+        assert any(np.array_equal(t, s) for s in tiles_in)
+
+
+def test_synthetic_dataset_interface():
+    ds = SyntheticUFGDataset(num_classes=5, samples_per_class=3, image_size=48)
+    assert len(ds) == 15
+    img, label = ds[0]
+    assert img.shape == (48, 48, 3) and img.dtype == np.uint8
+    assert 0 <= label < 5
+    img2, _ = ds[0]
+    np.testing.assert_array_equal(img, img2)  # deterministic
+    info = ds.get_dataset_info()
+    assert info["current_classes"] == 5
+    assert ds.classes == sorted(ds.classes)
+
+
+def test_batch_loader_determinism_and_shapes():
+    ds = SyntheticUFGDataset(num_classes=4, samples_per_class=5, image_size=48)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=1, num_workers=2)
+    assert len(loader) == 2  # 20 // 8 with drop_last
+    b1 = [lbl.copy() for _, lbl in loader]
+    loader.set_epoch(0)
+    b2 = [lbl.copy() for _, lbl in loader]
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x, y)  # same epoch -> same order
+    loader.set_epoch(1)
+    b3 = np.concatenate([lbl for _, lbl in loader])
+    assert not np.array_equal(np.concatenate(b1), b3)  # reshuffled
+    imgs, labels = next(iter(loader))
+    assert imgs.shape == (8, 48, 48, 3) and imgs.dtype == np.uint8
+    assert labels.shape == (8,) and labels.dtype == np.int32
+
+
+def test_loader_no_prefetch_path():
+    ds = SyntheticUFGDataset(num_classes=2, samples_per_class=4, image_size=32)
+    loader = BatchLoader(ds, batch_size=4, prefetch=0, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 2
+
+
+def test_ufgvc_rejects_unknown_dataset():
+    from ego_moment_cle_vit_tpu.data import UFGVCDataset
+
+    with pytest.raises(ValueError, match="not found"):
+        UFGVCDataset(dataset_name="nope", download=False)

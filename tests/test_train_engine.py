@@ -1,0 +1,114 @@
+"""End-to-end engine tests on the 8-device virtual CPU mesh: full Trainer
+loop on synthetic data, checkpoint save/resume, Evaluator with ablations,
+schedule/optimizer factory."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ego_moment_cle_vit_tpu.utils import load_config
+
+CFG_PATH = Path(__file__).resolve().parent.parent / "configs" / "smoke_synthetic.yaml"
+
+
+@pytest.fixture
+def smoke_config(tmp_path):
+    cfg = load_config(str(CFG_PATH))
+    cfg["experiment"]["output_dir"] = str(tmp_path / "outputs")
+    cfg["experiment"]["save_dir"] = str(tmp_path / "ckpts")
+    cfg["experiment"]["log_dir"] = str(tmp_path / "logs")
+    return cfg
+
+
+def test_schedule_factory_warmup_and_decay(smoke_config):
+    from ego_moment_cle_vit_tpu.train import create_learning_rate_schedule
+
+    sched = create_learning_rate_schedule(smoke_config, steps_per_epoch=10)
+    lr0 = float(sched(0))
+    lr_peak = float(sched(10))  # after 1 warmup epoch
+    lr_end = float(sched(20))
+    assert lr0 == pytest.approx(1e-6, rel=0.2)
+    assert lr_peak == pytest.approx(1e-3, rel=0.05)
+    assert lr_end < lr_peak
+
+
+def test_trainer_full_loop_and_resume(smoke_config, tmp_path):
+    from ego_moment_cle_vit_tpu.train import Trainer
+
+    trainer = Trainer(smoke_config)
+    trainer.setup_data()
+    trainer.setup_model()
+    results = trainer.train()
+
+    hist = results["history"]
+    assert len(hist["train_loss"]) == 2
+    assert len(hist["val_acc"]) == 2
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+
+    # checkpoints exist (per-epoch cadence 1 + best)
+    ckpts = list(Path(smoke_config["experiment"]["save_dir"]).iterdir())
+    names = {p.name for p in ckpts}
+    assert any(n.startswith("checkpoint_epoch_") for n in names)
+
+    # resume from the last epoch checkpoint and continue one more epoch
+    last = sorted(
+        [
+            n
+            for n in names
+            if n.startswith("checkpoint_epoch_") and n.rsplit("_", 1)[1].isdigit()
+        ],
+        key=lambda n: int(n.rsplit("_", 1)[1]),
+    )[-1]
+    smoke_config["training"]["epochs"] = 3
+    trainer2 = Trainer(smoke_config)
+    trainer2.setup_data()
+    trainer2.setup_model()
+    trainer2.resume(str(Path(smoke_config["experiment"]["save_dir"]) / last))
+    assert trainer2.start_epoch == 2
+    results2 = trainer2.train()
+    assert len(results2["history"]["train_loss"]) == 1  # epochs 2..3
+
+    # training curves artifact written
+    assert (Path(smoke_config["experiment"]["output_dir"]) / "training_curves.png").exists()
+
+
+def test_evaluator_end_to_end(smoke_config, tmp_path):
+    from ego_moment_cle_vit_tpu.train import Evaluator
+
+    evaluator = Evaluator(smoke_config, checkpoint_path=None)
+    out = evaluator.evaluate(visualize=True, ablation=True)
+    m = out["metrics"]
+    assert 0.0 <= m["top1_accuracy"] <= 1.0
+    assert m["top5_accuracy"] >= m["top1_accuracy"]
+    assert "mean_per_class_recall" in m
+    assert set(out["ablations"]) == {"no_gpf", "uniform_graph", "cls_only"}
+    results_file = (
+        Path(smoke_config["experiment"]["output_dir"]) / "evaluation" / "results.json"
+    )
+    assert results_file.exists()
+    payload = json.loads(results_file.read_text())
+    assert "metrics" in payload and "ablations" in payload
+
+
+def test_multichip_mesh_sharding(smoke_config):
+    """Params shard over the ('data','model') mesh; one step executes with a
+    model-sharded moment projection on the 8-device CPU mesh."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    smoke_config["experiment"]["mesh"] = {"data": 4, "model": 2}
+    from ego_moment_cle_vit_tpu.train import Trainer
+
+    trainer = Trainer(smoke_config)
+    trainer.setup_data()
+    trainer.setup_model()
+    metrics = trainer.train_epoch(0)
+    assert np.isfinite(metrics["loss"])
+
+    # the big half-vec projection must actually be sharded over 'model'
+    kernel = trainer.state.params["moment_head"]["second_proj"]["kernel"]
+    spec = kernel.sharding.spec
+    assert spec[0] == "model", spec
