@@ -115,7 +115,10 @@ def test_moment_head_remat_matches(rng):
 def test_simplified_moment_head(rng):
     n, d = 16, 24
     tokens = jnp.asarray(rng.standard_normal((B, n, d)).astype(np.float32))
-    graph = _psd_graph(rng, B, n)
+    # nonnegative graph: the simplified head row-normalizes by degree, which
+    # (as in the reference) assumes GPF's clamped >= 0 output — a PSD graph
+    # with negative entries can have ~zero row sums and blow up.
+    graph = jnp.abs(_psd_graph(rng, B, n))
     head = SimplifiedMomentHead(d_in=d, d_out=64, use_third_order=True)
     v = head.init(jax.random.PRNGKey(0), tokens, graph)
     out = head.apply(v, tokens, graph)
