@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state training throughput of the flagship model on the
+available TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config benched (BASELINE.json configs[2] family): Swin-Base dual-stream +
+GPF(2,2) + iSQRT-COV(5) moment head with third-order Tensor-Sketch + full
+5-term loss, bf16 activations, on-device dual-view augmentation inside the
+step — i.e. the complete jitted train step, not just the forward.
+
+vs_baseline: the reference publishes NO throughput numbers (BASELINE.md).
+The denominator is an engineering estimate of the PyTorch reference on one
+A100: Swin-Base fwd ~15.4 GFLOPs/img at 224^2, x3 for fwd+bwd, x2 for the
+dual view, plus <25% moment-head overhead (the reference's own acceptance
+bound, docs/spec.md:328) =~ 115 GFLOP/img; at 40% AMP utilization of
+312 TFLOPs bf16 => ~1080 img/s theoretical, derated by the reference's
+measured CPU-side PIL augmentation bottleneck (8 workers, ~45 ms/sample
+chain) to ~180 img/s.  BASELINE.json's target is >=3x that per chip.
+
+Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 20),
+BENCH_PRESET=small for a vit-small quick run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_REFERENCE_IMG_PER_SEC = 180.0  # documented estimate, see module docstring
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ego_moment_cle_vit_tpu.data import AugmentConfig, dual_view_train_batch
+    from ego_moment_cle_vit_tpu.models import create_model
+    from ego_moment_cle_vit_tpu.train.state import create_train_state
+
+    preset = os.environ.get("BENCH_PRESET", "full")
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    if preset == "small":
+        backbone, d_out, sketch = "vit_small_patch16_224", 512, 2048
+    else:
+        backbone, d_out, sketch = "swin_base_patch4_window7_224", 1024, 4096
+
+    config = {
+        "model": {
+            "backbone_name": backbone,
+            "norm": "layer",
+            "bf16": True,
+            "gpf": {"degree_p": 2, "degree_q": 2, "similarity": "dot"},
+            "moment": {
+                "d_out": d_out,
+                "use_third_order": True,
+                "isqrt_iterations": 5,
+                "sketch_dim": sketch,
+            },
+            "classifier": {"fusion_type": "add"},
+        },
+        "training": {
+            "batch_size": batch,
+            "optimizer": {"lr": 3e-4},
+            "scheduler": {"warmup_epochs": 0},
+            "loss": {"lambda_triplet": 0.6, "lambda_align": 0.1, "margin": 0.3},
+            "epochs": 1,
+        },
+        "data": {"input_size": 224, "resize_size": 256},
+    }
+
+    model = create_model(config, num_classes=80)
+    aug_cfg = AugmentConfig(input_size=224, resize_size=256)
+
+    rng = np.random.default_rng(0)
+    images_u8 = jnp.asarray(
+        rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
+    )
+    labels = jnp.asarray(rng.integers(0, 80, (batch,)), jnp.int32)
+
+    dummy = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), dummy, dummy, jnp.zeros((2,), jnp.int32)
+    )
+    state = create_train_state(model, variables, config, steps_per_epoch=100)
+
+    def train_step(state, images_u8, labels, key):
+        aug_key, dropout_key = jax.random.split(jax.random.fold_in(key, state.step))
+        anchor, positive = dual_view_train_batch(images_u8, aug_key, aug_cfg)
+
+        def loss_fn(params):
+            vs = {"params": params}
+            if state.constants is not None:
+                vs["constants"] = state.constants
+            out = model.apply(
+                vs,
+                anchor,
+                positive,
+                labels,
+                deterministic=False,
+                rngs={"dropout": dropout_key},
+            )
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(0)
+    t_compile = time.perf_counter()
+    state, loss = step(state, images_u8, labels, key)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t_compile
+
+    # warmup
+    for _ in range(3):
+        state, loss = step(state, images_u8, labels, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step(state, images_u8, labels, key)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    img_per_sec = batch * steps / elapsed
+    n_chips = len(jax.devices())
+    result = {
+        "metric": f"train_images_per_sec_per_chip ({backbone} dual-view 224 bf16, full step)",
+        "value": round(img_per_sec / n_chips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / n_chips / A100_REFERENCE_IMG_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# chips={n_chips} batch={batch} steps={steps} "
+        f"step_time={elapsed / steps * 1e3:.1f}ms compile={compile_s:.0f}s "
+        f"loss={float(loss):.3f}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
