@@ -208,6 +208,31 @@ class Trainer:
         dummy_labels = jnp.zeros((2,), jnp.int32)
         variables = self.model.init(init_key, dummy, dummy, dummy_labels)
 
+        # pretrained backbone splice (timm state_dict file; see
+        # utils/port_weights.py — the reference's timm.create_model(...,
+        # pretrained=True) equivalent in a zero-egress world)
+        mcfg = self.config.get("model", {})
+        ckpt = mcfg.get("timm_checkpoint")
+        if mcfg.get("pretrained") and ckpt:
+            from ..utils.port_weights import (
+                load_torch_backbone,
+                splice_backbone_params,
+            )
+
+            name = mcfg.get("backbone_name", "")
+            family = "swin" if name.startswith("swin") else "vit"
+            backbone_params = load_torch_backbone(name, ckpt)
+            variables = dict(variables)
+            variables["params"] = splice_backbone_params(
+                variables["params"], backbone_params, family
+            )
+            self.logger.info("loaded pretrained backbone from %s", ckpt)
+        elif mcfg.get("pretrained"):
+            self.logger.warning(
+                "model.pretrained=true but no model.timm_checkpoint path "
+                "given — training from scratch"
+            )
+
         steps_per_epoch = max(len(self.train_loader), 1)
         self.state = create_train_state(
             self.model, variables, self.config, steps_per_epoch
