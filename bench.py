@@ -113,21 +113,24 @@ def main() -> int:
 
     step = jax.jit(train_step, donate_argnums=(0,))
 
+    # NOTE: on the experimental axon platform, block_until_ready() can
+    # return before remote execution finishes — a scalar host fetch
+    # (float()) is the only reliable fence, so all timing boundaries use it.
     key = jax.random.PRNGKey(0)
     t_compile = time.perf_counter()
     state, loss = step(state, images_u8, labels, key)
-    jax.block_until_ready(loss)
+    float(loss)
     compile_s = time.perf_counter() - t_compile
 
     # warmup
     for _ in range(3):
         state, loss = step(state, images_u8, labels, key)
-    jax.block_until_ready(loss)
+    float(loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss = step(state, images_u8, labels, key)
-    jax.block_until_ready(loss)
+    loss_val = float(loss)  # forces completion of the whole step chain
     elapsed = time.perf_counter() - t0
 
     img_per_sec = batch * steps / elapsed
@@ -142,7 +145,7 @@ def main() -> int:
     print(
         f"# chips={n_chips} batch={batch} steps={steps} "
         f"step_time={elapsed / steps * 1e3:.1f}ms compile={compile_s:.0f}s "
-        f"loss={float(loss):.3f}",
+        f"loss={loss_val:.3f}",
         file=sys.stderr,
     )
     return 0

@@ -54,6 +54,7 @@ class GraphPolynomialFusion(nn.Module):
     eps: float = 1e-6
     symmetric_enforce: bool = True
     coeff_init: str = "uniform"
+    use_pallas: bool = True  # use the fused TPU kernel when available
 
     @nn.compact
     def __call__(
@@ -63,9 +64,24 @@ class GraphPolynomialFusion(nn.Module):
             "alpha_coeffs",
             _init_coefficients(self.coeff_init, self.degree_p, self.degree_q),
         )
+        coeffs = jax.nn.softplus(alpha)
+
+        if self.use_pallas:
+            from ..ops.pallas import fused_gpf_available, fused_gpf_pallas
+
+            _, n, d = tokens_anchor.shape
+            if fused_gpf_available(n, d):
+                return fused_gpf_pallas(
+                    tokens_anchor,
+                    tokens_positive,
+                    coeffs,
+                    self.similarity,
+                    self.eps,
+                    self.symmetric_enforce,
+                )
+
         r_a = token_similarity_graph(tokens_anchor, self.similarity, self.eps)
         r_p = token_similarity_graph(tokens_positive, self.similarity, self.eps)
-        coeffs = jax.nn.softplus(alpha)
         return gpf_fuse(
             r_a, r_p, coeffs, symmetric_enforce=self.symmetric_enforce
         )

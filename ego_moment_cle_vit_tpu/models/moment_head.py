@@ -87,6 +87,7 @@ class MomentHead(nn.Module):
     norm: str = "layer"  # 'layer' | 'batch' (reference parity) | 'none'
     axis_name: Optional[str] = None
     remat: bool = False  # checkpoint the iSQRT (memory-optimized variant)
+    use_pallas: bool = True  # VMEM-resident NS kernel when available
     dtype: Dtype = jnp.float32
 
     @property
@@ -112,9 +113,22 @@ class MomentHead(nn.Module):
         m2, centered = graph_weighted_covariance(tokens, w, mean=mu, eps=self.eps)
 
         # 5) iSQRT-COV normalization (fp32 inside), optionally rematerialized
-        isqrt_fn = lambda m: newton_schulz_isqrt(
-            m, num_iterations=self.isqrt_iterations, eps=self.eps
-        )
+        use_kernel = False
+        if self.use_pallas:
+            from ..ops.pallas import (
+                newton_schulz_available,
+                newton_schulz_isqrt_pallas,
+            )
+
+            use_kernel = newton_schulz_available(m2.shape[-1])
+        if use_kernel:
+            isqrt_fn = lambda m: newton_schulz_isqrt_pallas(
+                m, self.isqrt_iterations, self.eps
+            )
+        else:
+            isqrt_fn = lambda m: newton_schulz_isqrt(
+                m, num_iterations=self.isqrt_iterations, eps=self.eps
+            )
         if self.remat:
             isqrt_fn = jax.checkpoint(isqrt_fn)
         m2_normalized = isqrt_fn(m2)

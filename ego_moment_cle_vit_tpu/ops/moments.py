@@ -32,13 +32,22 @@ import jax.numpy as jnp
 
 
 def newton_schulz_isqrt(
-    matrix: jnp.ndarray, num_iterations: int = 3, eps: float = 1e-5
+    matrix: jnp.ndarray,
+    num_iterations: int = 3,
+    eps: float = 1e-5,
+    assume_symmetric: bool = True,
 ) -> jnp.ndarray:
     """Coupled Newton–Schulz iteration for M^{-1/2} (iSQRT-COV).
 
     Matches reference moment_head.py:28-70: trace-normalize, Y0 = I, Z0 = M,
     k steps of  Y <- 0.5 * Y (3I - ZY),  Z <- 0.5 * (3I - YZ) Z,
     then rescale by 1/sqrt(trace).
+
+    TPU optimization: for symmetric M (always true for the covariance M2),
+    Y and Z stay symmetric through the iteration, so YZ = (ZY)^T and each
+    step needs THREE batched matmuls instead of four — a 25% FLOP cut on
+    the O(B k D^3) latency target with identical math.
+    ``assume_symmetric=False`` recovers the general 4-matmul form.
 
     Args:
       matrix: [B, D, D] (or [..., D, D]) PSD matrices.
@@ -57,9 +66,16 @@ def newton_schulz_isqrt(
     z = m
     for _ in range(num_iterations):
         zy = jnp.matmul(z, y, preferred_element_type=jnp.float32)
-        yz = jnp.matmul(y, z, preferred_element_type=jnp.float32)
-        y = 0.5 * jnp.matmul(y, 3.0 * eye - zy, preferred_element_type=jnp.float32)
-        z = 0.5 * jnp.matmul(3.0 * eye - yz, z, preferred_element_type=jnp.float32)
+        if assume_symmetric:
+            yz = jnp.swapaxes(zy, -1, -2)
+        else:
+            yz = jnp.matmul(y, z, preferred_element_type=jnp.float32)
+        y = 0.5 * (
+            3.0 * y - jnp.matmul(y, zy, preferred_element_type=jnp.float32)
+        )
+        z = 0.5 * (
+            3.0 * z - jnp.matmul(yz, z, preferred_element_type=jnp.float32)
+        )
 
     isqrt = y / jnp.sqrt(trace + eps)
     return isqrt.astype(in_dtype)

@@ -1,0 +1,107 @@
+"""Pallas kernel correctness vs the pure-XLA reference ops (interpret mode
+on CPU; the same kernels compile natively on TPU — microbenchmarked by
+scripts/microbench_pallas.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ego_moment_cle_vit_tpu.ops import (
+    gpf_fuse,
+    newton_schulz_isqrt,
+    token_similarity_graph,
+)
+
+B, N, D = 2, 24, 32
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("similarity", ["cosine", "dot"])
+def test_fused_gpf_matches_xla(similarity):
+    from ego_moment_cle_vit_tpu.ops.pallas import fused_gpf_pallas
+
+    rng = np.random.default_rng(11)
+    ta = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    tp = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    coeffs = jnp.asarray(rng.uniform(0, 1, (3, 3)).astype(np.float32))
+
+    got = fused_gpf_pallas(ta, tp, coeffs, similarity, 1e-6, True)
+    want = gpf_fuse(
+        token_similarity_graph(ta, similarity),
+        token_similarity_graph(tp, similarity),
+        coeffs,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-2, rtol=1e-4)
+
+
+def test_fused_gpf_gradients_match_xla():
+    from ego_moment_cle_vit_tpu.ops.pallas import fused_gpf_pallas
+
+    rng = np.random.default_rng(11)
+    ta = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    tp = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    coeffs = jnp.asarray(rng.uniform(0, 1, (3, 3)).astype(np.float32))
+
+    def loss_pallas(a, p, c):
+        return jnp.sum(fused_gpf_pallas(a, p, c, "cosine", 1e-6, True) ** 2)
+
+    def loss_xla(a, p, c):
+        g = gpf_fuse(
+            token_similarity_graph(a, "cosine"),
+            token_similarity_graph(p, "cosine"),
+            c,
+        )
+        return jnp.sum(g**2)
+
+    ga = jax.grad(loss_pallas, argnums=(0, 1, 2))(ta, tp, coeffs)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(ta, tp, coeffs)
+    for a, b in zip(ga, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_newton_schulz_matches_xla():
+    from ego_moment_cle_vit_tpu.ops.pallas import newton_schulz_isqrt_pallas
+
+    rng = np.random.default_rng(12)
+    a = rng.standard_normal((B, D, D)).astype(np.float32)
+    m = a @ a.transpose(0, 2, 1) / D + 0.5 * np.eye(D, dtype=np.float32)
+    got = newton_schulz_isqrt_pallas(jnp.asarray(m), 5, 1e-5)
+    want = newton_schulz_isqrt(jnp.asarray(m), 5, assume_symmetric=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-2, rtol=1e-4)
+
+
+def test_pallas_newton_schulz_grad_matches():
+    from ego_moment_cle_vit_tpu.ops.pallas import newton_schulz_isqrt_pallas
+
+    rng = np.random.default_rng(12)
+    a = rng.standard_normal((B, 16, 16)).astype(np.float32)
+    m = jnp.asarray(a @ a.transpose(0, 2, 1) / 16 + 0.5 * np.eye(16, dtype=np.float32))
+
+    gp = jax.grad(lambda x: jnp.sum(newton_schulz_isqrt_pallas(x, 5, 1e-5) ** 2))(m)
+    gx = jax.grad(
+        lambda x: jnp.sum(newton_schulz_isqrt(x, 5, assume_symmetric=True) ** 2)
+    )(m)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3, rtol=1e-3)
+
+
+def test_availability_predicates():
+    from ego_moment_cle_vit_tpu.ops.pallas import (
+        fused_gpf_available,
+        newton_schulz_available,
+    )
+
+    # CPU platform -> never
+    assert not fused_gpf_available(196, 768, platform="cpu")
+    assert not newton_schulz_available(768, platform="cpu")
+    # TPU: sized by VMEM budget
+    assert fused_gpf_available(196, 1536, platform="tpu")
+    assert newton_schulz_available(768, platform="tpu")
+    assert not newton_schulz_available(1536, platform="tpu")
