@@ -36,6 +36,15 @@ A100_REFERENCE_IMG_PER_SEC = 180.0  # documented estimate, see module docstring
 
 def main() -> int:
     import jax
+
+    # persistent compilation cache: the flagship step takes minutes to
+    # compile via the axon remote-compile tunnel; cache across runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from ego_moment_cle_vit_tpu.data import AugmentConfig, dual_view_train_batch

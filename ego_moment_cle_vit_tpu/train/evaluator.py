@@ -164,6 +164,53 @@ class Evaluator:
             for mode in ("no_gpf", "uniform_graph", "cls_only")
         }
 
+        # -- test-time augmentation (configs/ufg_base.yaml evaluation.tta;
+        #    declared by the reference but dead code there, eval config
+        #    :132-136 / SURVEY.md §5) --
+        tta_cfg = self.config.get("evaluation", {}).get("tta", {}) or {}
+        self._tta_enabled = bool(tta_cfg.get("enabled", False))
+        scales = tuple(float(s) for s in tta_cfg.get("scales", (0.9, 1.0, 1.1)))
+
+        def make_tta(scale: float, flip: bool):
+            @jax.jit
+            def step(images_u8):
+                imgs = images_u8.astype(jnp.float32) / 255.0
+                b, s, _, c = imgs.shape
+                target = max(aug_cfg.input_size, int(round(s * scale)))
+                if target != s:
+                    imgs = jax.image.resize(
+                        imgs, (b, target, target, c), method="bilinear"
+                    )
+                off = (imgs.shape[1] - aug_cfg.input_size) // 2
+                imgs = jax.lax.dynamic_slice(
+                    imgs,
+                    (0, off, off, 0),
+                    (b, aug_cfg.input_size, aug_cfg.input_size, c),
+                )
+                if flip:
+                    imgs = imgs[:, :, ::-1, :]
+                mean = jnp.asarray(aug_cfg.mean, imgs.dtype)
+                std = jnp.asarray(aug_cfg.std, imgs.dtype)
+                imgs = (imgs - mean) / std
+                logits = model.apply(
+                    variables, imgs, method=model.inference
+                )
+                return jax.nn.softmax(logits, axis=-1)
+
+            return step
+
+        if self._tta_enabled:
+            self._tta_steps = [make_tta(s, False) for s in scales]
+            self._tta_steps.append(make_tta(1.0, True))  # hflip view
+
+    def predict_tta(self, images_u8) -> "np.ndarray":
+        """Averaged softmax over the TTA views (scales + horizontal flip)."""
+        probs = None
+        for step in self._tta_steps:
+            p = np.asarray(step(jnp.asarray(images_u8)))
+            probs = p if probs is None else probs + p
+        return probs / len(self._tta_steps)
+
     # -- passes ----------------------------------------------------------------
 
     def compute_metrics(self) -> Dict[str, Any]:
@@ -194,6 +241,17 @@ class Evaluator:
         metrics["loss"] = float(np.mean(losses))
         metrics["images_per_sec"] = n_images / max(elapsed, 1e-9)
         metrics["num_samples"] = int(labels.shape[0])
+
+        if self._tta_enabled:
+            tta_probs, tta_labels = [], []
+            for images, lab in self.loader:
+                tta_probs.append(self.predict_tta(images))
+                tta_labels.append(lab)
+            probs = np.concatenate(tta_probs)
+            tl = np.concatenate(tta_labels)
+            metrics["tta_top1_accuracy"] = float(
+                (probs.argmax(-1) == tl).mean()
+            )
         return metrics
 
     def run_ablation_study(self) -> Dict[str, float]:
@@ -257,6 +315,24 @@ class Evaluator:
         path = self.output_dir / "results.json"
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
+
+        # evaluation.save_predictions / save_features (config keys the
+        # reference declares; honored here)
+        ecfg = self.config.get("evaluation", {})
+        if ecfg.get("save_predictions"):
+            np.savez_compressed(
+                self.output_dir / "predictions.npz",
+                logits=self.features["logits"],
+                labels=self.features["labels"],
+                predictions=self.features["logits"].argmax(-1),
+            )
+        if ecfg.get("save_features"):
+            np.savez_compressed(
+                self.output_dir / "features.npz",
+                moment=self.features["moment"],
+                global_features=self.features["global"],
+                labels=self.features["labels"],
+            )
         return str(path)
 
     def evaluate(self, visualize: bool = True, ablation: bool = True) -> Dict[str, Any]:

@@ -342,14 +342,23 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
-        log_freq = int(
-            self.config.get("experiment", {}).get("log_frequency", 100)
-        )
+        exp = self.config.get("experiment", {})
+        log_freq = int(exp.get("log_frequency", 100))
+        # jax.profiler trace (SURVEY.md §5: the reference has no profiler
+        # integration at all; here experiment.profile_steps captures a trace
+        # of the first N steps of epoch 0 into log_dir/profile)
+        profile_steps = int(exp.get("profile_steps", 0))
+        if profile_steps > 0 and epoch == self.start_epoch:
+            jax.profiler.start_trace(str(self.log_dir / "profile"))
         totals: Dict[str, float] = {}
         count = 0
         t0 = time.perf_counter()
         images_seen = 0
         for i, (images, labels) in enumerate(self.train_loader):
+            if profile_steps > 0 and epoch == self.start_epoch and i == profile_steps:
+                jax.profiler.stop_trace()
+                profile_steps = 0
+                self.logger.info("profiler trace written to %s", self.log_dir / "profile")
             batch = shard_batch((images, labels), self.mesh)
             self.state, metrics = self._train_step(
                 self.state, batch[0], batch[1], self.train_key
@@ -366,6 +375,9 @@ class Trainer:
                     totals["loss"] / count,
                     totals["accuracy"] / count,
                 )
+        if profile_steps > 0 and epoch == self.start_epoch:
+            jax.profiler.stop_trace()
+            self.logger.info("profiler trace written to %s", self.log_dir / "profile")
         elapsed = time.perf_counter() - t0
         avg = {k: v / max(count, 1) for k, v in totals.items()}
         avg["images_per_sec"] = images_seen / max(elapsed, 1e-9)

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Per-section step-time breakdown: how much of a full training step the
+moment head (and GPF) costs — the BASELINE.md acceptance metric is
+"iSQRT-COV head latency < 10% of total step time".
+
+Method: time the full jitted train step, then an identical step whose
+moment branch is replaced by a zero-cost stand-in (and likewise GPF ->
+identity graph).  The difference is the section's marginal cost including
+its backward pass.
+
+Run: PYTHONPATH=.:/root/.axon_site python scripts/profile_sections.py [--device cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def bench_step(step_fn, state, args, iters=10):
+    state2, loss = step_fn(state, *args)
+    float(loss)  # fence (axon block_until_ready is unreliable)
+    t0 = time.perf_counter()
+    s = state2
+    for _ in range(iters):
+        s, loss = step_fn(s, *args)
+    float(loss)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--device", default=None, choices=["tpu", "cpu", "axon"])
+    parser.add_argument("--backbone", default="swin_tiny_patch4_window7_224")
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.device:
+        jax.config.update(
+            "jax_platforms", "axon" if args.device == "tpu" else args.device
+        )
+    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+    import jax.numpy as jnp
+
+    from ego_moment_cle_vit_tpu.data import AugmentConfig, dual_view_train_batch
+    from ego_moment_cle_vit_tpu.models import create_model
+    from ego_moment_cle_vit_tpu.train.state import create_train_state
+
+    def build(moment_on: bool, third_on: bool):
+        config = {
+            "model": {
+                "backbone_name": args.backbone,
+                "norm": "layer",
+                "bf16": True,
+                "gpf": {"degree_p": 2, "degree_q": 2, "similarity": "dot"},
+                "moment": {
+                    "d_out": 1024 if moment_on else 8,
+                    "use_third_order": third_on,
+                    "isqrt_iterations": 5 if moment_on else 1,
+                    "sketch_dim": 4096,
+                },
+                "classifier": {"fusion_type": "add"},
+            },
+            "training": {
+                "batch_size": args.batch,
+                "optimizer": {"lr": 3e-4},
+                "scheduler": {"warmup_epochs": 0},
+                "loss": {"lambda_triplet": 0.6, "lambda_align": 0.1, "margin": 0.3},
+                "epochs": 1,
+            },
+            "data": {"input_size": 224, "resize_size": 256},
+        }
+        model = create_model(config, num_classes=80)
+        aug_cfg = AugmentConfig(input_size=224, resize_size=256)
+        dummy = jnp.zeros((2, 224, 224, 3), jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), dummy, dummy, jnp.zeros((2,), jnp.int32)
+        )
+        state = create_train_state(model, variables, config, steps_per_epoch=100)
+
+        def train_step(state, images_u8, labels, key):
+            aug_key, dk = jax.random.split(jax.random.fold_in(key, state.step))
+            anchor, positive = dual_view_train_batch(images_u8, aug_key, aug_cfg)
+
+            def loss_fn(params):
+                vs = {"params": params}
+                if state.constants is not None:
+                    vs["constants"] = state.constants
+                out = model.apply(
+                    vs, anchor, positive, labels,
+                    deterministic=False, rngs={"dropout": dk},
+                )
+                return out["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        return jax.jit(train_step, donate_argnums=(0,)), state
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (args.batch, 256, 256, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 80, (args.batch,)), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    print(f"backend={jax.default_backend()} backbone={args.backbone} batch={args.batch}")
+    step_full, st = build(moment_on=True, third_on=True)
+    t_full = bench_step(step_full, st, (images, labels, key), args.iters)
+    step_small, st = build(moment_on=False, third_on=False)
+    t_small = bench_step(step_small, st, (images, labels, key), args.iters)
+    step_no3, st = build(moment_on=True, third_on=False)
+    t_no3 = bench_step(step_no3, st, (images, labels, key), args.iters)
+
+    moment_ms = t_full - t_small
+    third_ms = t_full - t_no3
+    print(f"full step:            {t_full:8.2f} ms")
+    print(f"tiny-moment step:     {t_small:8.2f} ms")
+    print(f"no-third-order step:  {t_no3:8.2f} ms")
+    print(
+        f"=> moment branch ~ {moment_ms:.2f} ms = "
+        f"{100 * moment_ms / t_full:.1f}% of step (target <10%)"
+    )
+    print(f"=> third-order share ~ {third_ms:.2f} ms = {100 * third_ms / t_full:.1f}%")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -78,18 +78,24 @@ def test_trainer_full_loop_and_resume(smoke_config, tmp_path):
 def test_evaluator_end_to_end(smoke_config, tmp_path):
     from ego_moment_cle_vit_tpu.train import Evaluator
 
+    smoke_config["evaluation"] = {
+        "tta": {"enabled": True, "scales": [0.9, 1.0]},
+        "save_predictions": True,
+        "save_features": True,
+    }
     evaluator = Evaluator(smoke_config, checkpoint_path=None)
     out = evaluator.evaluate(visualize=True, ablation=True)
     m = out["metrics"]
     assert 0.0 <= m["top1_accuracy"] <= 1.0
     assert m["top5_accuracy"] >= m["top1_accuracy"]
     assert "mean_per_class_recall" in m
+    assert "tta_top1_accuracy" in m  # evaluation.tta actually runs here
     assert set(out["ablations"]) == {"no_gpf", "uniform_graph", "cls_only"}
-    results_file = (
-        Path(smoke_config["experiment"]["output_dir"]) / "evaluation" / "results.json"
-    )
-    assert results_file.exists()
-    payload = json.loads(results_file.read_text())
+    eval_dir = Path(smoke_config["experiment"]["output_dir"]) / "evaluation"
+    assert (eval_dir / "results.json").exists()
+    assert (eval_dir / "predictions.npz").exists()
+    assert (eval_dir / "features.npz").exists()
+    payload = json.loads((eval_dir / "results.json").read_text())
     assert "metrics" in payload and "ablations" in payload
 
 

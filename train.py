@@ -29,6 +29,13 @@ def main(argv=None) -> int:
         choices=["tpu", "cpu", "axon"],
         help="JAX platform override (parity with the reference's --device)",
     )
+    parser.add_argument(
+        "--profile",
+        type=int,
+        default=0,
+        metavar="N",
+        help="capture a jax.profiler trace of the first N steps",
+    )
     args = parser.parse_args(argv)
 
     if args.device:
@@ -50,6 +57,9 @@ def main(argv=None) -> int:
         backbone=args.backbone,
         seed=args.seed,
     )
+
+    if args.profile:
+        config.setdefault("experiment", {})["profile_steps"] = args.profile
 
     trainer = Trainer(config)
     trainer.setup_data()
