@@ -34,7 +34,13 @@ class BatchLoader:
         drop_last: bool = True,
         num_workers: int = 8,
         prefetch: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
+        """``batch_size`` is the PER-HOST batch.  In a multi-host run each
+        process sees a disjoint stride of the (identically seeded) global
+        shuffle — set process_index/process_count, or leave None to read
+        them from jax.process_index()/process_count() lazily."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,9 +49,22 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = 0
+        self._pidx = process_index
+        self._pcount = process_count
+
+    def _process(self):
+        if self._pidx is not None:
+            return self._pidx, max(self._pcount or 1, 1)
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        _, pcount = self._process()
+        n = len(self.dataset) // pcount
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -56,10 +75,15 @@ class BatchLoader:
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
-        if not self.shuffle:
-            return np.arange(n)
-        rng = np.random.default_rng([self.seed, self.epoch])
-        return rng.permutation(n)
+        if self.shuffle:
+            rng = np.random.default_rng([self.seed, self.epoch])
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        pidx, pcount = self._process()
+        if pcount > 1:
+            order = order[pidx::pcount]
+        return order
 
     def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
         samples = list(pool.map(self.dataset.__getitem__, idxs))

@@ -130,6 +130,27 @@ def test_loader_no_prefetch_path():
     assert len(batches) == 2
 
 
+def test_batch_loader_multihost_sharding_disjoint():
+    """Per-process stride: two hosts see disjoint halves of one global
+    shuffle (multi-host input pipeline; SURVEY.md §7 step 7)."""
+    ds = SyntheticUFGDataset(num_classes=4, samples_per_class=6, image_size=32)
+    loaders = [
+        BatchLoader(
+            ds, batch_size=4, seed=3, num_workers=1, prefetch=0,
+            process_index=i, process_count=2,
+        )
+        for i in range(2)
+    ]
+    assert len(loaders[0]) == 3  # 24 samples / 2 hosts / batch 4
+    seen = []
+    for loader in loaders:
+        loader.set_epoch(0)
+        idxs = [tuple(lbl) for _, lbl in loader]
+        seen.append(idxs)
+    # same epoch, different host -> different batches
+    assert seen[0] != seen[1]
+
+
 def test_ufgvc_rejects_unknown_dataset():
     from ego_moment_cle_vit_tpu.data import UFGVCDataset
 
