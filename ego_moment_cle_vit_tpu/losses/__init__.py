@@ -20,6 +20,14 @@ from .alignment import (
     label_similarity_matrix,
     graph_global_similarity,
 )
+from .modules import (
+    TripletLoss,
+    HardTripletLoss,
+    MultiViewTripletLoss,
+    KernelAlignmentLoss,
+    ContrastiveAlignmentLoss,
+    HierarchicalAlignmentLoss,
+)
 
 __all__ = [
     "triplet_loss",
@@ -32,4 +40,10 @@ __all__ = [
     "graph_alignment_mse_loss",
     "label_similarity_matrix",
     "graph_global_similarity",
+    "TripletLoss",
+    "HardTripletLoss",
+    "MultiViewTripletLoss",
+    "KernelAlignmentLoss",
+    "ContrastiveAlignmentLoss",
+    "HierarchicalAlignmentLoss",
 ]

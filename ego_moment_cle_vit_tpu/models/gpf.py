@@ -86,15 +86,6 @@ class GraphPolynomialFusion(nn.Module):
             r_a, r_p, coeffs, symmetric_enforce=self.symmetric_enforce
         )
 
-    def fuse_single(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """Inference specialization: anchor == positive => R_p == R_a, so the
-        expansion degenerates to sum A_pq R^{.(p+q)} — one similarity matmul
-        instead of two (SURVEY.md §3.5, provably identical output)."""
-        alpha = self.get_variable("params", "alpha_coeffs")
-        r = token_similarity_graph(tokens, self.similarity, self.eps)
-        coeffs = jax.nn.softplus(alpha)
-        return gpf_fuse(r, r, coeffs, symmetric_enforce=self.symmetric_enforce)
-
     @staticmethod
     def coefficient_matrix(params) -> jnp.ndarray:
         """A_pq = softplus(alpha_pq) (reference gpf_kernel.py:161-163)."""
