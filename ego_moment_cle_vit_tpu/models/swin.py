@@ -207,7 +207,7 @@ class SwinBlock(nn.Module):
         wp = -(-w // ws) * ws
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
         if hp != h or wp != w:
             x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
@@ -230,7 +230,7 @@ class SwinBlock(nn.Module):
 
         x = shortcut + x.reshape(b, n, c)
 
-        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
@@ -256,7 +256,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, n // 4, 4 * c)
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -282,7 +282,7 @@ class Swin(nn.Module):
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
         x = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="patch_embed_norm"
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="patch_embed_norm"
         )(x)
         if cfg.drop_rate > 0:
             x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
@@ -310,5 +310,5 @@ class Swin(nn.Module):
                 )(x)
                 res = (res[0] // 2, res[1] // 2)
 
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x)
         return x  # [B, N, D]

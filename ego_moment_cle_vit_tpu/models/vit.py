@@ -122,9 +122,9 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
-        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
-        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
         return x
 
@@ -171,5 +171,5 @@ class ViT(nn.Module):
                 name=f"blocks_{i}",
             )(x)
 
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x)
         return x
