@@ -50,6 +50,7 @@ class AugmentConfig:
     mask_ratio: Tuple[float, float] = (0.15, 0.45)
     grid_size: int = 4
     mask_value: float = 0.0
+    rotation_method: str = "shear_fft"  # 'shear_fft' (fast) | 'gather'
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
 
@@ -164,8 +165,12 @@ def random_hflip(img: jnp.ndarray, key: jax.Array, prob: float) -> jnp.ndarray:
     return jnp.where(flip, img[:, ::-1, :], img)
 
 
-def rotate(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
-    """Rotate about the center by ``angle_deg`` (bilinear, zero fill)."""
+def rotate_gather(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
+    """Rotate about the center by ``angle_deg`` (bilinear, zero fill) via a
+    generic gather (map_coordinates).  Correct everywhere but SLOW on TPU
+    (generic scalar gathers don't vectorize on the VPU — measured ~7 ms per
+    224^2 image on v5e); kept as the reference implementation and for CPU.
+    """
     h, w = img.shape[0], img.shape[1]
     theta = angle_deg * jnp.pi / 180.0
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -187,9 +192,66 @@ def rotate(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def random_rotate(img: jnp.ndarray, key: jax.Array, degrees: float) -> jnp.ndarray:
+def _fft_shift_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Sub-pixel per-row translation along axis 1 via the FFT shift theorem:
+    out[i, j] = in[i, j - shifts[i]] with sinc interpolation.  Zero-padding
+    by ``pad`` on both sides keeps the circular wrap out of the image."""
+    h, w, c = img.shape
+    x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)))
+    n = w + 2 * pad
+    f = jnp.fft.rfft(x, axis=1)
+    k = jnp.arange(f.shape[1])
+    phase = jnp.exp(
+        (-2j * jnp.pi / n) * k[None, :] * shifts[:, None].astype(jnp.float32)
+    )
+    out = jnp.fft.irfft(f * phase[:, :, None], n=n, axis=1)
+    return out[:, pad : pad + w, :]
+
+
+def rotate(
+    img: jnp.ndarray, angle_deg: jnp.ndarray, method: str = "shear_fft"
+) -> jnp.ndarray:
+    """Center rotation by ``angle_deg`` degrees.
+
+    'shear_fft' (default): exact 3-shear decomposition
+        R(theta) = Shear_x(-tan(theta/2)) . Shear_y(sin(theta)) . Shear_x(...)
+    with each shear as a batch of per-row 1-D FFT translations — fully
+    vectorized on the VPU, ~40x faster than the gather path on TPU (5.8 ms
+    vs 246 ms for 32x224^2 on v5e).  Sinc interpolation instead of bilinear
+    (distributional parity; the torch reference uses PIL *nearest*, so
+    neither matches it bit-wise — see docs/DIVERGENCES.md).  Output clipped
+    to the input range to suppress ringing overshoot.
+
+    'gather': bilinear map_coordinates (reference implementation).
+    """
+    if method == "gather":
+        return rotate_gather(img, angle_deg)
+    h, w = img.shape[0], img.shape[1]
+    theta = angle_deg * jnp.pi / 180.0
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rows = jnp.arange(h, dtype=jnp.float32) - cy
+    cols = jnp.arange(w, dtype=jnp.float32) - cx
+    # pad covers the largest shift (|a|*H/2, |b|*W/2) for angles <= ~45 deg
+    pad = max(8, int(0.5 * max(h, w) * 0.5))
+    lo, hi = jnp.min(img), jnp.max(img)
+    out = _fft_shift_rows(img, a * rows, pad)
+    out = jnp.swapaxes(
+        _fft_shift_rows(jnp.swapaxes(out, 0, 1), b * cols, pad), 0, 1
+    )
+    out = _fft_shift_rows(out, a * rows, pad)
+    return jnp.clip(out, lo, hi)
+
+
+def random_rotate(
+    img: jnp.ndarray,
+    key: jax.Array,
+    degrees: float,
+    method: str = "shear_fft",
+) -> jnp.ndarray:
     angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees)
-    return rotate(img, angle)
+    return rotate(img, angle, method=method)
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +315,7 @@ def _base_augment(img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.n
     img = random_hflip(img, kf, cfg.hflip_prob)
     img = color_jitter(img, kj, cfg)
     if cfg.rotation_degrees > 0:
-        img = random_rotate(img, kr, cfg.rotation_degrees)
+        img = random_rotate(img, kr, cfg.rotation_degrees, cfg.rotation_method)
     return img
 
 
