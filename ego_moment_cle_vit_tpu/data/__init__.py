@@ -12,7 +12,7 @@ from .augment import (
     IMAGENET_MEAN,
     IMAGENET_STD,
 )
-from .pipeline import BatchLoader, shard_batch
+from .pipeline import BatchLoader, create_multi_loaders, shard_batch
 
 __all__ = [
     "UFGVCDataset",
@@ -28,5 +28,6 @@ __all__ = [
     "IMAGENET_MEAN",
     "IMAGENET_STD",
     "BatchLoader",
+    "create_multi_loaders",
     "shard_batch",
 ]

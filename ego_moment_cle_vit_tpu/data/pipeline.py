@@ -124,6 +124,52 @@ class BatchLoader:
             t.join()
 
 
+def create_multi_loaders(
+    dataset_names,
+    root: str = "./data",
+    batch_size: int = 32,
+    num_workers: int = 4,
+    resize_size: int = 600,
+    download: bool = True,
+):
+    """BatchLoaders for multiple datasets and all their available splits.
+
+    Capability parity with the reference's ``create_multi_dataloaders``
+    (ufgvc.py:256-314): returns {dataset_name: {split: BatchLoader}}.
+    """
+    from .ufgvc import UFGVCDataset
+
+    all_loaders = {}
+    for name in dataset_names:
+        loaders = {}
+        splits = UFGVCDataset.get_dataset_splits(name, root) or [
+            "train",
+            "val",
+            "test",
+        ]
+        for split in splits:
+            try:
+                ds = UFGVCDataset(
+                    dataset_name=name,
+                    root=root,
+                    split=split,
+                    resize_size=resize_size,
+                    download=download,
+                )
+            except (ValueError, FileNotFoundError) as exc:
+                print(f"Warning: no loader for {name}-{split}: {exc}")
+                continue
+            loaders[split] = BatchLoader(
+                ds,
+                batch_size=batch_size,
+                shuffle=(split == "train"),
+                num_workers=num_workers,
+            )
+        if loaders:
+            all_loaders[name] = loaders
+    return all_loaders
+
+
 def shard_batch(batch, mesh, data_axis: str = "data"):
     """Place a host batch onto the mesh, sharded over the data axis.
 

@@ -92,6 +92,13 @@ def create_optimizer(
             weight_decay=float(opt.get("weight_decay", 0.05)),
         ),
     )
+    # failure containment: skip non-finite updates instead of corrupting the
+    # train state (the reference has no failure detection at all —
+    # SURVEY.md §5); abort after ``max_consecutive_errors`` bad steps.
+    if tcfg.get("skip_nonfinite_updates", True):
+        tx = optax.apply_if_finite(
+            tx, max_consecutive_errors=int(tcfg.get("max_nonfinite_steps", 10))
+        )
     accum = int(tcfg.get("accumulation_steps", 1))
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
