@@ -146,7 +146,7 @@ def ensure_psd(matrix: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def half_vectorize(matrix: jnp.ndarray) -> jnp.ndarray:
+def half_vectorize(matrix: jnp.ndarray, method: str = "slices") -> jnp.ndarray:
     """Upper-triangle (incl. diagonal) of a symmetric matrix, row-major.
 
     [..., D, D] -> [..., D*(D+1)/2], ordered (0,0),(0,1)..(0,D-1),(1,1),...
@@ -154,13 +154,18 @@ def half_vectorize(matrix: jnp.ndarray) -> jnp.ndarray:
     the reference line up (reference moment_head.py:202-220,
     utils/ops.py:100-119).
 
-    TPU note: implemented as a flat static gather; XLA lowers it to one
-    contiguous gather, no scatter needed.
+    method='slices' (default): a concatenation of D static row slices —
+    pure contiguous copies, no gather (generic gathers are slow on the TPU
+    VPU).  method='gather': single flat constant-index gather.
     """
     dim = matrix.shape[-1]
-    rows, cols = jnp.triu_indices(dim)
+    if method == "gather":
+        rows, cols = jnp.triu_indices(dim)
+        flat = matrix.reshape(*matrix.shape[:-2], dim * dim)
+        return flat[..., rows * dim + cols]
     flat = matrix.reshape(*matrix.shape[:-2], dim * dim)
-    return flat[..., rows * dim + cols]
+    pieces = [flat[..., i * dim + i : (i + 1) * dim] for i in range(dim)]
+    return jnp.concatenate(pieces, axis=-1)
 
 
 def half_vectorize_dim(dim: int) -> int:

@@ -39,7 +39,23 @@ def param_sharding_rules(
     return P()
 
 
-def _tree_paths_and_specs(tree: Any, rules) -> Any:
+def _spec_fits(leaf, spec: P, mesh: Mesh | None) -> bool:
+    """A spec applies only if the leaf has enough rank and every partitioned
+    dimension divides evenly by its mesh axis size."""
+    if len(spec) > getattr(leaf, "ndim", 0):
+        return False
+    if mesh is not None:
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = axis_sizes.get(axis, 1)
+            if size > 1 and leaf.shape[dim] % size != 0:
+                return False
+    return True
+
+
+def _tree_paths_and_specs(tree: Any, rules, mesh: Mesh | None = None) -> Any:
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
 
     def path_str(kp) -> str:
@@ -56,8 +72,7 @@ def _tree_paths_and_specs(tree: Any, rules) -> Any:
     specs = []
     for kp, leaf in flat:
         spec = param_sharding_rules(path_str(kp), rules)
-        # guard: a spec must not over-partition a small axis
-        if spec != P() and (leaf.ndim == 0 or spec[0] is not None and leaf.ndim < len([s for s in spec if s])):
+        if spec != P() and not _spec_fits(leaf, spec, mesh):
             spec = P()
         specs.append(spec)
     return jax.tree_util.tree_unflatten(treedef, specs)
@@ -65,7 +80,7 @@ def _tree_paths_and_specs(tree: Any, rules) -> Any:
 
 def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_RULES) -> Any:
     """Place a parameter PyTree on the mesh per the rules."""
-    specs = _tree_paths_and_specs(params, rules)
+    specs = _tree_paths_and_specs(params, rules, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
@@ -73,7 +88,7 @@ def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_RULES) -> Any:
 
 def param_spec_tree(params: Any, mesh: Mesh, rules=DEFAULT_RULES) -> Any:
     """NamedSharding PyTree matching ``params`` (for jit in/out shardings)."""
-    specs = _tree_paths_and_specs(params, rules)
+    specs = _tree_paths_and_specs(params, rules, mesh)
     return jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), specs,
         is_leaf=lambda x: isinstance(x, P),
