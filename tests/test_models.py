@@ -300,6 +300,27 @@ def test_model_gradients_cover_all_params(rng):
     assert nonzero / len(leaves) > 0.9, f"{nonzero}/{len(leaves)} grads nonzero"
 
 
+def test_model_batchnorm_parity_mode(rng):
+    """norm='batch' (reference BatchNorm1d parity) must init batch_stats and
+    run with mutable stats in training mode."""
+    model = _tiny_model(norm="batch", use_third_order=False, moment_d_out=32)
+    anchor = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, (4,)))
+    variables = model.init(jax.random.PRNGKey(0), anchor, anchor, labels)
+    assert "batch_stats" in variables
+    out, mutated = model.apply(
+        variables,
+        anchor,
+        anchor,
+        labels,
+        deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(out["loss"]))
+    assert "batch_stats" in mutated
+
+
 def test_inference_matches_dual_forward(rng):
     """The specialized single-pass inference path must match the full dual
     forward with anchor == positive (SURVEY.md §3.5)."""
