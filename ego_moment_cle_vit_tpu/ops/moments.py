@@ -146,6 +146,49 @@ def ensure_psd(matrix: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _vech_slices(matrix: jnp.ndarray) -> jnp.ndarray:
+    """vech via D static row slices + one concat: pure contiguous copies."""
+    dim = matrix.shape[-1]
+    flat = matrix.reshape(*matrix.shape[:-2], dim * dim)
+    pieces = [flat[..., i * dim + i : (i + 1) * dim] for i in range(dim)]
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def _unvech_upper(vec: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Inverse structure: [..., D(D+1)/2] -> [..., D, D] upper-triangular
+    (zeros below), also as static slices + one concat."""
+    pieces = []
+    off = 0
+    zero_shape = vec.shape[:-1]
+    for i in range(dim):
+        if i > 0:
+            pieces.append(jnp.zeros((*zero_shape, i), vec.dtype))
+        pieces.append(vec[..., off : off + dim - i])
+        off += dim - i
+    flat = jnp.concatenate(pieces, axis=-1)
+    return flat.reshape(*zero_shape, dim, dim)
+
+
+@jax.custom_vjp
+def _half_vectorize_fast(matrix: jnp.ndarray) -> jnp.ndarray:
+    return _vech_slices(matrix)
+
+
+def _hv_fwd(matrix):
+    return _vech_slices(matrix), matrix.shape[-1]
+
+
+def _hv_bwd(dim, g):
+    # d vech / d M: cotangent lands on the upper triangle only.  Built with
+    # the same slice+concat structure as the forward — XLA autodiff of the
+    # slicing would instead emit D full-size pad+add accumulations (measured
+    # 8x slower on TPU).
+    return (_unvech_upper(g, dim),)
+
+
+_half_vectorize_fast.defvjp(_hv_fwd, _hv_bwd)
+
+
 def half_vectorize(matrix: jnp.ndarray, method: str = "slices") -> jnp.ndarray:
     """Upper-triangle (incl. diagonal) of a symmetric matrix, row-major.
 
@@ -154,18 +197,18 @@ def half_vectorize(matrix: jnp.ndarray, method: str = "slices") -> jnp.ndarray:
     the reference line up (reference moment_head.py:202-220,
     utils/ops.py:100-119).
 
-    method='slices' (default): a concatenation of D static row slices —
-    pure contiguous copies, no gather (generic gathers are slow on the TPU
-    VPU).  method='gather': single flat constant-index gather.
+    method='slices' (default): D static row slices + one concat in BOTH
+    directions (custom VJP) — pure contiguous copies, no gather/scatter
+    (generic gathers are slow on the TPU VPU, and the autodiff backward of
+    slicing degenerates into full-size pad+add chains).
+    method='gather': single flat constant-index gather (reference-shaped).
     """
     dim = matrix.shape[-1]
     if method == "gather":
         rows, cols = jnp.triu_indices(dim)
         flat = matrix.reshape(*matrix.shape[:-2], dim * dim)
         return flat[..., rows * dim + cols]
-    flat = matrix.reshape(*matrix.shape[:-2], dim * dim)
-    pieces = [flat[..., i * dim + i : (i + 1) * dim] for i in range(dim)]
-    return jnp.concatenate(pieces, axis=-1)
+    return _half_vectorize_fast(matrix)
 
 
 def half_vectorize_dim(dim: int) -> int:
