@@ -81,6 +81,8 @@ class MomentHead(nn.Module):
     isqrt_iterations: int = 3
     sketch_dim: int = 2048
     sketch_mode: str = "fft"  # 'fft' | 'faithful'
+    sketch_compact: bool = False  # cap sketch at 2*d_in (reference
+    # CompactTensorSketch variant, moment_head_optimized.py:78-123)
     sketch_seed: int = 42
     eps: float = 1e-5
     dropout: float = 0.1
@@ -167,11 +169,15 @@ class MomentHead(nn.Module):
     def _sketch_params(self) -> SketchParams:
         """Fixed (non-trainable) count-sketch matrices, stored as a
         'constants' collection so they ride checkpoints but take no grads."""
-        k = effective_sketch_dim(self.d_in, self.sketch_dim)
+        cap = 2 if self.sketch_compact else 4
+        k = effective_sketch_dim(self.d_in, self.sketch_dim, cap)
 
         def init():
             return make_sketch_params(
-                jax.random.PRNGKey(self.sketch_seed), self.d_in, self.sketch_dim
+                jax.random.PRNGKey(self.sketch_seed),
+                self.d_in,
+                self.sketch_dim,
+                cap,
             ).matrices
 
         mats = self.variable("constants", "sketch_matrices", init)

@@ -41,16 +41,19 @@ class SketchParams(NamedTuple):
     sketch_dim: int
 
 
-def effective_sketch_dim(input_dim: int, sketch_dim: int) -> int:
-    """Cap the sketch dimension at 4*D as the reference does
-    (moment_head.py:85), then round up to a lane-aligned multiple of 128 so
-    the one-hot matmul tiles cleanly onto the MXU."""
-    k = min(sketch_dim, input_dim * 4)
+def effective_sketch_dim(
+    input_dim: int, sketch_dim: int, cap_ratio: int = 4
+) -> int:
+    """Cap the sketch dimension at cap_ratio*D — 4 as the canonical head does
+    (moment_head.py:85), 2 for the reference's CompactTensorSketch variant
+    (moment_head_optimized.py:78-123) — then round up to a lane-aligned
+    multiple of 128 so the one-hot matmul tiles cleanly onto the MXU."""
+    k = min(sketch_dim, input_dim * cap_ratio)
     return ((k + 127) // 128) * 128
 
 
 def make_sketch_params(
-    key: jax.Array, input_dim: int, sketch_dim: int = 2048
+    key: jax.Array, input_dim: int, sketch_dim: int = 2048, cap_ratio: int = 4
 ) -> SketchParams:
     """Draw the three hash/sign pairs and materialize dense sketch matrices.
 
@@ -60,7 +63,7 @@ def make_sketch_params(
     torch is impossible and not required — parity tests fix the hash tensors,
     not the seeds.)
     """
-    k = effective_sketch_dim(input_dim, sketch_dim)
+    k = effective_sketch_dim(input_dim, sketch_dim, cap_ratio)
     keys = jax.random.split(key, 6)
     mats = []
     for i in range(3):
