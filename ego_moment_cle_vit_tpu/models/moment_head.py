@@ -39,6 +39,7 @@ from ..ops.moments import (
     graph_weighted_mean,
     degree_weighted_centered_mean,
     half_vectorize,
+    half_vectorize_paired,
     newton_schulz_isqrt,
 )
 from ..ops.graph import normalize_graph
@@ -135,8 +136,12 @@ class MomentHead(nn.Module):
             isqrt_fn = jax.checkpoint(isqrt_fn)
         m2_normalized = isqrt_fn(m2)
 
-        # 6) half-vectorize upper triangle -> [B, D(D+1)/2]
-        m2_vec = half_vectorize(m2_normalized).astype(self.dtype)
+        # 6) half-vectorize upper triangle -> [B, D(D+1)/2].  Paired packing:
+        # O(1) tensor ops (the row-major packing needs gathers or a D-way
+        # concat — both pathological on TPU).  The ordering is a fixed
+        # permutation of the reference's vech; second_proj kernel rows from
+        # reference checkpoints convert via ops.moments.paired_vech_permutation.
+        m2_vec = half_vectorize_paired(m2_normalized).astype(self.dtype)
 
         # 7) second-order projection: Linear -> Norm -> GELU -> Dropout
         x = nn.Dense(self.d_second, dtype=self.dtype, name="second_proj")(m2_vec)

@@ -189,6 +189,67 @@ def _hv_bwd(dim, g):
 _half_vectorize_fast.defvjp(_hv_fwd, _hv_bwd)
 
 
+def half_vectorize_paired(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Packed upper triangle in PAIRED order — O(1) tensor ops, no gathers.
+
+    Exploits two identities: (a) padding flat row-major [D*D] by D and
+    reshaping to [D, D+1] puts upper-triangle row i at T[i, :D-i]
+    (since i*D + i == i*(D+1)); (b) rows i and D-1-i have D+1 upper
+    elements together, so right-aligning the reversed partner row packs the
+    triangle into exactly [D/2, D+1] == D(D+1)/2 positions.
+
+    The result is a FIXED PERMUTATION of the row-major vech (see
+    ``paired_vech_permutation``); consumers that feed it into a Dense layer
+    are order-agnostic, and reference checkpoints are converted by permuting
+    kernel rows.  D must be even (all supported backbone dims are).
+
+    Why it exists: the row-major packing needs either a gather (slow on the
+    VPU) or D concatenated slices (compile-time explosion); this version is
+    pad+reshape+mask+flip+add — constant op count, fast in both directions
+    under plain autodiff.
+    """
+    dim = matrix.shape[-1]
+    if dim % 2 != 0:
+        return _half_vectorize_fast(matrix)  # rare; slice fallback
+    batch_shape = matrix.shape[:-2]
+    flat = matrix.reshape(*batch_shape, dim * dim)
+    padded = jnp.pad(flat, [(0, 0)] * len(batch_shape) + [(0, dim)])
+    t = padded.reshape(*batch_shape, dim, dim + 1)
+    # triangular validity mask: row i keeps cols < D - i
+    rows = jax.lax.broadcasted_iota(jnp.int32, (dim, dim + 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (dim, dim + 1), 1)
+    u = jnp.where(cols < dim - rows, t, 0)
+    top = u[..., : dim // 2, :]  # rows 0..D/2-1, prefix lengths D..D/2+1
+    bottom = jnp.flip(u[..., dim // 2 :, :], axis=-2)  # rows D-1..D/2
+    packed = top + jnp.flip(bottom, axis=-1)  # right-align reversed partner
+    return packed.reshape(*batch_shape, dim * (dim + 1) // 2)
+
+
+def paired_vech_permutation(dim: int):
+    """numpy index array ``perm`` with
+    ``half_vectorize_paired(M)[..., k] == half_vectorize(M)[..., perm[k]]``
+    — used to permute reference-checkpoint projection kernels."""
+    import numpy as _np
+
+    # row-major vech index of (i, j), i <= j
+    def k_ref(i, j):
+        return i * dim - i * (i - 1) // 2 + (j - i)
+
+    perm = _np.empty(dim * (dim + 1) // 2, dtype=_np.int64)
+    width = dim + 1
+    for pr in range(dim // 2):
+        for col in range(width):
+            k_paired = pr * width + col
+            if col < dim - pr:
+                i, j = pr, pr + col  # top part: M[pr, pr+col]
+            else:
+                i = dim - 1 - pr
+                j = 2 * dim - 1 - pr - col  # bottom part (reversed)
+                i, j = min(i, j), max(i, j)
+            perm[k_paired] = k_ref(i, j)
+    return perm
+
+
 def half_vectorize(matrix: jnp.ndarray, method: str = "slices") -> jnp.ndarray:
     """Upper-triangle (incl. diagonal) of a symmetric matrix, row-major.
 
