@@ -61,6 +61,30 @@ def test_anchor_and_positive_views_differ(rng):
     assert not np.allclose(np.asarray(anchor), np.asarray(positive))
 
 
+def test_fft_rotate_matches_gather_reference():
+    """The FFT 3-shear rotation must match the bilinear gather rotation in
+    the interior (different interpolants; edges/fill differ slightly)."""
+    from ego_moment_cle_vit_tpu.data.augment import rotate, rotate_gather
+
+    s = 64
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    img = jnp.asarray(
+        np.stack(
+            [np.sin(yy / 6) + np.cos(xx / 9), np.cos(yy / 11), (yy + xx) / s / 2],
+            -1,
+        ).astype(np.float32)
+    )
+    for angle in (10.0, -7.3):
+        ref = rotate_gather(img, jnp.float32(angle))
+        got = rotate(img, jnp.float32(angle))
+        inner = (slice(16, -16), slice(16, -16), slice(None))
+        assert float(jnp.max(jnp.abs(ref[inner] - got[inner]))) < 0.06
+    # zero rotation is the identity for both
+    np.testing.assert_allclose(
+        np.asarray(rotate(img, jnp.float32(0.0))), np.asarray(img), atol=1e-4
+    )
+
+
 def test_rect_mask_area_fraction(rng):
     """Masked-away fraction must land in ~[0.15, 0.45] (area-ratio law,
     reference cle_vit_backbone.py:61-71)."""
