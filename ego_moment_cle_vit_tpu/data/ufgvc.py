@@ -247,11 +247,16 @@ class SyntheticUFGDataset:
         split: str = "train",
         seed: int = 0,
         resize_size: Optional[int] = None,
+        learnable: bool = False,
     ):
+        """``learnable=True`` embeds a class-dependent signal (per-class
+        color tint + spatial frequency pattern) under the noise, so training
+        sanity checks can verify accuracy actually climbs above chance."""
         self.dataset_name = "synthetic"
         self.split = split
         self.image_size = resize_size or image_size
         self.num_classes = num_classes
+        self.learnable = learnable
         self.classes = [f"class_{i:03d}" for i in range(num_classes)]
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
         self._labels = np.repeat(np.arange(num_classes), samples_per_class)
@@ -262,10 +267,21 @@ class SyntheticUFGDataset:
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
         rng = np.random.default_rng(self._seed * 100003 + idx)
-        img = rng.integers(
-            0, 256, (self.image_size, self.image_size, 3), dtype=np.uint8
-        )
-        return img, int(self._labels[idx])
+        label = int(self._labels[idx])
+        s = self.image_size
+        if not self.learnable:
+            img = rng.integers(0, 256, (s, s, 3), dtype=np.uint8)
+            return img, label
+        # class signal: tint + low-frequency grating, + strong noise
+        crng = np.random.default_rng(9999 + label)
+        tint = crng.uniform(60, 200, 3)
+        freq = crng.uniform(1.5, 6.0)
+        phase = crng.uniform(0, 2 * np.pi)
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        grating = 40.0 * np.sin(2 * np.pi * freq * (xx + yy) + phase)
+        noise = rng.normal(0.0, 35.0, (s, s, 3))
+        img = tint[None, None, :] + grating[..., None] + noise
+        return np.clip(img, 0, 255).astype(np.uint8), label
 
     def get_dataset_info(self) -> dict:
         return {

@@ -59,6 +59,7 @@ def _make_dataset(config: Dict[str, Any], split: str):
             image_size=resize,
             split=split,
             seed=int(config.get("experiment", {}).get("seed", 42)),
+            learnable=bool(dcfg.get("learnable", False)),
         )
     return UFGVCDataset(
         dataset_name=name,
