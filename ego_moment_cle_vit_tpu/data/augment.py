@@ -233,8 +233,11 @@ def rotate(
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     rows = jnp.arange(h, dtype=jnp.float32) - cy
     cols = jnp.arange(w, dtype=jnp.float32) - cx
-    # pad covers the largest shift (|a|*H/2, |b|*W/2) for angles <= ~45 deg
-    pad = max(8, int(0.5 * max(h, w) * 0.5))
+    # Zero-pad against circular wrap.  Max per-shear shift is
+    # max(|tan(theta/2)|, |sin(theta)|) * dim/2; 0.35*dim covers |theta| up
+    # to ~40 deg (far beyond the augmentation range of +-10).  Larger angles
+    # should use method='gather'.
+    pad = max(16, int(0.35 * max(h, w)))
     lo, hi = jnp.min(img), jnp.max(img)
     out = _fft_shift_rows(img, a * rows, pad)
     out = jnp.swapaxes(
