@@ -19,7 +19,8 @@ measured CPU-side PIL augmentation bottleneck (8 workers, ~45 ms/sample
 chain) to ~180 img/s.  BASELINE.json's target is >=3x that per chip.
 
 Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 20),
-BENCH_PRESET=small for a vit-small quick run.
+BENCH_PRESET=small for a vit-small quick run, BENCH_MODE=infer to measure
+the specialized single-pass serving path instead of the train step.
 """
 
 from __future__ import annotations
@@ -32,6 +33,58 @@ import time
 import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC = 180.0  # documented estimate, see module docstring
+# serving baseline: the reference's inference runs the dual pass on a
+# duplicated image (ego_moment_clevit.py:318-331) — ~2x the single-view
+# cost; estimate ~450 img/s on A100 for Swin-Base eval AMP.
+A100_REFERENCE_INFER_IMG_PER_SEC = 450.0
+
+
+def bench_inference(model, variables, aug_cfg, batch, steps, backbone):
+    import json as _json
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ego_moment_cle_vit_tpu.data import dual_view_eval_batch
+
+    rng = np.random.default_rng(0)
+    images_u8 = jnp.asarray(
+        rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
+    )
+
+    @jax.jit
+    def infer(images_u8):
+        anchor, _ = dual_view_eval_batch(images_u8, aug_cfg)
+        return model.apply(variables, anchor, method=model.inference)
+
+    logits = infer(images_u8)
+    float(logits[0, 0])
+    for _ in range(3):
+        logits = infer(images_u8)
+    float(logits[0, 0])
+    t0 = _time.perf_counter()
+    for _ in range(steps):
+        logits = infer(images_u8)
+    float(logits[0, 0])
+    elapsed = _time.perf_counter() - t0
+
+    img_per_sec = batch * steps / elapsed
+    n_chips = len(jax.devices())
+    print(
+        _json.dumps(
+            {
+                "metric": f"infer_images_per_sec_per_chip ({backbone} single-pass 224 bf16)",
+                "value": round(img_per_sec / n_chips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    img_per_sec / n_chips / A100_REFERENCE_INFER_IMG_PER_SEC, 3
+                ),
+            }
+        )
+    )
+    return 0
 
 
 def main() -> int:
@@ -97,6 +150,10 @@ def main() -> int:
     variables = model.init(
         jax.random.PRNGKey(0), dummy, dummy, jnp.zeros((2,), jnp.int32)
     )
+
+    if os.environ.get("BENCH_MODE") == "infer":
+        return bench_inference(model, variables, aug_cfg, batch, steps, backbone)
+
     state = create_train_state(model, variables, config, steps_per_epoch=100)
 
     def train_step(state, images_u8, labels, key):
