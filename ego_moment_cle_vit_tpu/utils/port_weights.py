@@ -131,6 +131,33 @@ def convert_swin_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def interpolate_pos_embed(
+    pos_embed: np.ndarray, target_num_patches: int
+) -> np.ndarray:
+    """Resize a ViT position embedding [1, 1+N, D] to a new patch count by
+    bicubic-resampling the spatial grid (CLS token kept) — the standard
+    recipe for porting 224px checkpoints to e.g. 448px inputs
+    (BASELINE.json configs[4])."""
+    cls_tok, grid = pos_embed[:, :1], pos_embed[:, 1:]
+    n_old = grid.shape[1]
+    side_old = int(round(n_old**0.5))
+    side_new = int(round(target_num_patches**0.5))
+    if side_old * side_old != n_old or side_new * side_new != target_num_patches:
+        raise ValueError(
+            f"non-square patch grids: {n_old} -> {target_num_patches}"
+        )
+    if side_old == side_new:
+        return pos_embed
+    import jax
+    import jax.numpy as jnp
+
+    d = grid.shape[-1]
+    g = jnp.asarray(grid.reshape(1, side_old, side_old, d))
+    g = jax.image.resize(g, (1, side_new, side_new, d), method="cubic")
+    g = np.asarray(g).reshape(1, side_new * side_new, d)
+    return np.concatenate([cls_tok, g], axis=1)
+
+
 def load_torch_backbone(model_name: str, checkpoint_path: str) -> Dict[str, Any]:
     """Load a torch state_dict file and convert it for the named backbone.
 
@@ -156,6 +183,19 @@ def splice_backbone_params(model_params: Dict[str, Any], backbone_params: Dict[s
 
     tree = jax.tree_util.tree_map(lambda x: x, model_params)  # shallow copy
     slot = tree["backbone"]["backbone"][family]
+
+    # auto-interpolate ViT position embeddings when the input size differs
+    if (
+        family == "vit"
+        and "pos_embed" in backbone_params
+        and tuple(np.asarray(backbone_params["pos_embed"]).shape)
+        != tuple(slot["pos_embed"].shape)
+    ):
+        backbone_params = dict(backbone_params)
+        backbone_params["pos_embed"] = interpolate_pos_embed(
+            np.asarray(backbone_params["pos_embed"]),
+            slot["pos_embed"].shape[1] - 1,
+        )
 
     def check(path, old, new):
         if tuple(old.shape) != tuple(np.asarray(new).shape):

@@ -137,6 +137,21 @@ def test_vit_conversion_shapes_match_init(rng):
         assert tuple(leaf.shape) == tuple(flat_b[key].shape), key
 
 
+def test_pos_embed_interpolation(rng):
+    """224->448-style porting: pos embed grid resamples, CLS preserved."""
+    from ego_moment_cle_vit_tpu.utils.port_weights import interpolate_pos_embed
+
+    d = 8
+    pe = rng.standard_normal((1, 1 + 16, d)).astype(np.float32)  # 4x4 grid
+    out = interpolate_pos_embed(pe, 64)  # -> 8x8 grid
+    assert out.shape == (1, 65, d)
+    np.testing.assert_array_equal(out[:, 0], pe[:, 0])  # CLS untouched
+    # identity when sizes match
+    np.testing.assert_array_equal(interpolate_pos_embed(pe, 16), pe)
+    with pytest.raises(ValueError, match="non-square"):
+        interpolate_pos_embed(pe, 15)
+
+
 def test_swin_conversion_maps_names(rng):
     """Swin converter: name/shape mapping for a minimal 2-stage state dict
     (downsample at start-of-next-stage, newer-timm style)."""
