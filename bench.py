@@ -21,6 +21,9 @@ chain) to ~180 img/s.  BASELINE.json's target is >=3x that per chip.
 Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 20),
 BENCH_PRESET=small for a vit-small quick run, BENCH_MODE=infer to measure
 the specialized single-pass serving path instead of the train step.
+(Note: on the axon tunnel the swin-base BENCH_MODE=infer FIRST compile can
+exceed the remote-compile service's connection timeout; use
+BENCH_PRESET=small or a pre-warmed .jax_cache.)
 """
 
 from __future__ import annotations
