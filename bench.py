@@ -84,6 +84,8 @@ def bench_inference(model, variables, aug_cfg, batch, steps, backbone):
                 "vs_baseline": round(
                     img_per_sec / n_chips / A100_REFERENCE_INFER_IMG_PER_SEC, 3
                 ),
+                "baseline_is_estimate": True,
+                "baseline_img_per_sec": A100_REFERENCE_INFER_IMG_PER_SEC,
             }
         )
     )
@@ -209,6 +211,11 @@ def main() -> int:
         "value": round(img_per_sec / n_chips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / n_chips / A100_REFERENCE_IMG_PER_SEC, 3),
+        # the reference publishes NO throughput numbers; the denominator is
+        # the documented engineering estimate derived in this module's
+        # docstring (180 img/s on one A100)
+        "baseline_is_estimate": True,
+        "baseline_img_per_sec": A100_REFERENCE_IMG_PER_SEC,
     }
     print(json.dumps(result))
     print(

@@ -141,6 +141,7 @@ class Evaluator:
                 "moment_features": feats["moment_features"],
                 "anchor_global": feats["anchor_global"],
                 "graph_mean": jnp.mean(feats["fused_graph"], axis=(1, 2)),
+                "fused_graph": feats["fused_graph"],
             }
 
         self._eval_step = eval_step
@@ -219,8 +220,13 @@ class Evaluator:
         losses = []
         t0 = time.perf_counter()
         n_images = 0
+        sample_graph = None
         for images, labels in self.loader:
             out = self._eval_step(jnp.asarray(images), jnp.asarray(labels))
+            if sample_graph is None:
+                # keep one fused graph for the eval viz suite
+                # (reference eval.py:334 renders the graph-weight panel)
+                sample_graph = np.asarray(out["fused_graph"][0])
             all_logits.append(np.asarray(out["logits"]))
             all_labels.append(labels)
             all_moment.append(np.asarray(out["moment_features"]))
@@ -236,6 +242,7 @@ class Evaluator:
             "global": np.concatenate(all_global),
             "labels": labels,
             "logits": logits,
+            "sample_graph": sample_graph,
         }
         metrics = classification_metrics(labels, logits, self.dataset.classes)
         metrics["loss"] = float(np.mean(losses))
@@ -298,6 +305,18 @@ class Evaluator:
             coeffs = np.asarray(jax.nn.softplus(alpha))
             viz.plot_polynomial_coefficients(
                 coeffs, save_path=str(self.output_dir / "gpf_coefficients.png")
+            )
+            # graph-weight 4-panel on one fused graph (reference eval.py:334)
+            if self.features.get("sample_graph") is not None:
+                viz.plot_graph_weights(
+                    self.features["sample_graph"],
+                    save_path=str(self.output_dir / "graph_weights.png"),
+                )
+            # moment-feature analysis (reference viz.py:429-481 via eval.py)
+            viz.visualize_moment_features(
+                self.features["moment"],
+                labels,
+                save_path=str(self.output_dir / "moment_analysis.png"),
             )
         except Exception as exc:  # pragma: no cover - matplotlib optional
             print(f"visualization skipped: {exc}")

@@ -41,6 +41,7 @@ from ..parallel import create_mesh, shard_params
 from ..utils.ops import set_seed, get_model_info
 from .state import (
     EMCTrainState,
+    create_learning_rate_schedule,
     create_train_state,
     restore_checkpoint,
     save_checkpoint,
@@ -238,6 +239,11 @@ class Trainer:
         self.state = create_train_state(
             self.model, variables, self.config, steps_per_epoch
         )
+        # host-side copy of the LR schedule for logging (reference logs lr
+        # per step to wandb and into the curves, train.py:402-408,:509-517)
+        self.lr_schedule = create_learning_rate_schedule(
+            self.config, steps_per_epoch
+        )
         # place parameters on the mesh (replicated / model-sharded per rules)
         self.state = self.state.replace(
             params=shard_params(self.state.params, self.mesh),
@@ -369,13 +375,25 @@ class Trainer:
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             if (i + 1) % log_freq == 0:
+                lr = float(self.lr_schedule(int(self.state.step)))
                 self.logger.info(
-                    "epoch %d step %d loss=%.4f acc=%.4f",
+                    "epoch %d step %d loss=%.4f acc=%.4f lr=%.2e",
                     epoch,
                     i + 1,
                     totals["loss"] / count,
                     totals["accuracy"] / count,
+                    lr,
                 )
+                # per-step wandb parity (reference train.py:402-408)
+                if self.wandb_run is not None:
+                    self.wandb_run.log(
+                        {
+                            "step": int(self.state.step),
+                            "train/step_loss": float(metrics["loss"]),
+                            "train/step_acc": float(metrics["accuracy"]),
+                            "lr": lr,
+                        }
+                    )
         if profile_steps > 0 and epoch == self.start_epoch:
             jax.profiler.stop_trace()
             self.logger.info("profiler trace written to %s", self.log_dir / "profile")
@@ -403,16 +421,20 @@ class Trainer:
 
         for epoch in range(self.start_epoch, epochs):
             train_metrics = self.train_epoch(epoch)
+            epoch_lr = float(self.lr_schedule(int(self.state.step)))
             self.history["train_loss"].append(train_metrics["loss"])
             self.history["train_acc"].append(train_metrics["accuracy"])
+            self.history["lr"].append(epoch_lr)
             self.logger.info(
-                "epoch %d done: loss=%.4f acc=%.4f (%.1f img/s)",
+                "epoch %d done: loss=%.4f acc=%.4f lr=%.2e (%.1f img/s)",
                 epoch,
                 train_metrics["loss"],
                 train_metrics["accuracy"],
+                epoch_lr,
                 train_metrics["images_per_sec"],
             )
 
+            val_metrics = None
             if (epoch + 1) % val_freq == 0:
                 val_metrics = self.validate()
                 self.history["val_loss"].append(val_metrics["loss"])
@@ -434,12 +456,18 @@ class Trainer:
                         best=True,
                     )
             if self.wandb_run is not None:
-                self.wandb_run.log(
-                    {
-                        "epoch": epoch,
-                        **{f"train/{k}": v for k, v in train_metrics.items()},
-                    }
-                )
+                # epoch-level wandb parity incl. val + lr (train.py:509-517)
+                payload = {
+                    "epoch": epoch,
+                    "lr": epoch_lr,
+                    **{f"train/{k}": v for k, v in train_metrics.items()},
+                }
+                if val_metrics is not None:
+                    payload.update(
+                        {f"val/{k}": v for k, v in val_metrics.items()}
+                    )
+                    payload["val/best_acc"] = self.best_val_acc
+                self.wandb_run.log(payload)
             if (epoch + 1) % save_freq == 0:
                 save_checkpoint(
                     str(self.ckpt_dir),

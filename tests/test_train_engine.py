@@ -70,6 +70,9 @@ def test_trainer_full_loop_and_resume(smoke_config, tmp_path):
     assert trainer2.start_epoch == 2
     results2 = trainer2.train()
     assert len(results2["history"]["train_loss"]) == 1  # epochs 2..3
+    # lr history populated per epoch (reference logs lr, train.py:509-517)
+    assert len(results2["history"]["lr"]) == 1
+    assert results2["history"]["lr"][0] > 0
 
     # training curves artifact written
     assert (Path(smoke_config["experiment"]["output_dir"]) / "training_curves.png").exists()
@@ -95,6 +98,10 @@ def test_evaluator_end_to_end(smoke_config, tmp_path):
     assert (eval_dir / "results.json").exists()
     assert (eval_dir / "predictions.npz").exists()
     assert (eval_dir / "features.npz").exists()
+    # eval viz parity (reference eval.py:334): graph-weight 4-panel +
+    # moment-feature analysis must actually render
+    assert (eval_dir / "graph_weights.png").exists()
+    assert (eval_dir / "moment_analysis.png").exists()
     payload = json.loads((eval_dir / "results.json").read_text())
     assert "metrics" in payload and "ablations" in payload
 
