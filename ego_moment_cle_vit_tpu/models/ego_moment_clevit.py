@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from .backbone import CLEViTDualStream
 from .gpf import GraphPolynomialFusion
 from .moment_head import MomentHead
-from .classifier_head import ClassifierHead
+from .classifier_head import (
+    AdaptiveClassifierHead,
+    ClassifierHead,
+    MultiScaleClassifierHead,
+)
 from ..losses import roll_negative_triplet_loss, graph_alignment_mse_loss
 
 Dtype = Any
@@ -56,6 +60,7 @@ class EGOMomentCLEViT(nn.Module):
     isqrt_iterations: int = 5
     sketch_dim: int = 4096
     sketch_mode: str = "fft"
+    classifier_type: str = "standard"  # 'standard'|'multiscale'|'adaptive'
     classifier_fusion: str = "concat"
     classifier_hidden: Optional[int] = None
     lambda_triplet: float = 1.0
@@ -96,17 +101,40 @@ class EGOMomentCLEViT(nn.Module):
             remat=self.moment_remat,
             dtype=self.dtype,
         )
-        self.classifier = ClassifierHead(
-            d_cls=backbone_dim,
-            d_moment=self.moment_d_out,
-            num_classes=self.num_classes,
-            hidden_dim=self.classifier_hidden,
-            dropout=self.dropout,
-            fusion_type=self.classifier_fusion,
-            norm=self.norm,
-            axis_name=self.axis_name,
-            dtype=self.dtype,
-        )
+        # classifier variant (reference exports all three heads,
+        # classifier_head.py:14-311; configs[4] uses the multi-scale one)
+        if self.classifier_type == "multiscale":
+            self.classifier = MultiScaleClassifierHead(
+                d_cls=backbone_dim,
+                d_moment=self.moment_d_out,
+                num_classes=self.num_classes,
+                dropout=self.dropout,
+                norm=self.norm,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )
+        elif self.classifier_type == "adaptive":
+            self.classifier = AdaptiveClassifierHead(
+                d_cls=backbone_dim,
+                d_moment=self.moment_d_out,
+                num_classes=self.num_classes,
+                dropout=self.dropout,
+                norm=self.norm,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )
+        else:
+            self.classifier = ClassifierHead(
+                d_cls=backbone_dim,
+                d_moment=self.moment_d_out,
+                num_classes=self.num_classes,
+                hidden_dim=self.classifier_hidden,
+                dropout=self.dropout,
+                fusion_type=self.classifier_fusion,
+                norm=self.norm,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )
         # per-view CLE-ViT auxiliary classifier (reference :112)
         self.cls_only_classifier = nn.Dense(
             self.num_classes, dtype=self.dtype, name="cls_only_classifier"
@@ -273,6 +301,7 @@ def create_model(config: Dict[str, Any], num_classes: int) -> EGOMomentCLEViT:
         isqrt_iterations=moment.get("isqrt_iterations", 5),
         sketch_dim=moment.get("sketch_dim", 4096),
         sketch_mode=moment.get("sketch_mode", "fft"),
+        classifier_type=classifier.get("type", "standard"),
         classifier_fusion=classifier.get("fusion_type", "concat"),
         classifier_hidden=classifier.get("hidden_dim"),
         lambda_triplet=loss.get("lambda_triplet", 1.0),

@@ -23,6 +23,15 @@ import jax
 # jax_platforms via jax.config — override it back before any device use.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is dominated by XLA CPU compiles of
+# model-sized programs; cache them across runs (same dir as the TPU cache —
+# entries are keyed by platform).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import numpy as np
 import pytest
 
