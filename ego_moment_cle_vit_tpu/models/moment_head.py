@@ -40,6 +40,7 @@ from ..ops.moments import (
     degree_weighted_centered_mean,
     half_vectorize,
     half_vectorize_paired,
+    isqrt_cov_subspace,
     newton_schulz_isqrt,
 )
 from ..ops.graph import normalize_graph
@@ -91,6 +92,7 @@ class MomentHead(nn.Module):
     axis_name: Optional[str] = None
     remat: bool = False  # checkpoint the iSQRT (memory-optimized variant)
     use_pallas: bool = True  # VMEM-resident NS kernel when available
+    isqrt_subspace: bool = True  # N<D token-subspace NS (exact; ~70x FLOPs cut)
     dtype: Dtype = jnp.float32
 
     @property
@@ -111,30 +113,54 @@ class MomentHead(nn.Module):
     ) -> jnp.ndarray:
         # 1) symmetric degree normalization  W = D^{-1/2} G D^{-1/2}
         w = normalize_graph(graph, "symmetric", eps=self.eps)
-        # 2-4) weighted mean, centering, second moment M2 = Zc^T W Zc
+        # 2-4) weighted mean, centering, graph-weighted tokens W Zc
         mu = graph_weighted_mean(tokens, w, eps=self.eps)
-        m2, centered = graph_weighted_covariance(tokens, w, mean=mu, eps=self.eps)
+        centered = tokens - mu[:, None, :]
+        weighted = jnp.einsum(
+            "bnm,bmd->bnd", w, centered, preferred_element_type=jnp.float32
+        ).astype(tokens.dtype)
 
-        # 5) iSQRT-COV normalization (fp32 inside), optionally rematerialized
-        use_kernel = False
-        if self.use_pallas:
-            from ..ops.pallas import (
-                newton_schulz_available,
-                newton_schulz_isqrt_pallas,
-            )
-
-            use_kernel = newton_schulz_available(m2.shape[-1])
-        if use_kernel:
-            isqrt_fn = lambda m: newton_schulz_isqrt_pallas(
-                m, self.isqrt_iterations, self.eps
+        # 5) iSQRT-COV of M2 = Zc^T W Zc (fp32 inside).  When N < D (every
+        # flagship config: Swin N=49 vs D>=1024) the NS iterates collapse
+        # into the N-dim token subspace — M2 is never even materialized and
+        # the O(B k D^3) matmul chain becomes O(B(N^2 D + k N^3)); see
+        # ops.moments.isqrt_cov_subspace.  Dense fallback keeps the
+        # VMEM-resident Pallas kernel / XLA path for N >= D.
+        n_tok, d_tok = tokens.shape[-2], tokens.shape[-1]
+        if self.isqrt_subspace and n_tok < d_tok:
+            isqrt_fn = lambda c, v: isqrt_cov_subspace(
+                c, v, self.isqrt_iterations, self.eps
             )
         else:
-            isqrt_fn = lambda m: newton_schulz_isqrt(
-                m, num_iterations=self.isqrt_iterations, eps=self.eps
-            )
+            use_kernel = False
+            if self.use_pallas:
+                from ..ops.pallas import (
+                    newton_schulz_available,
+                    newton_schulz_isqrt_pallas,
+                )
+
+                use_kernel = newton_schulz_available(d_tok)
+            if use_kernel:
+                ns = lambda m: newton_schulz_isqrt_pallas(
+                    m, self.isqrt_iterations, self.eps
+                )
+            else:
+                ns = lambda m: newton_schulz_isqrt(
+                    m, num_iterations=self.isqrt_iterations, eps=self.eps
+                )
+
+            def isqrt_fn(c, v, _ns=ns):
+                m2 = jnp.einsum(
+                    "bnd,bne->bde",
+                    c.astype(jnp.float32),
+                    v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ).astype(c.dtype)
+                return _ns(m2)
+
         if self.remat:
             isqrt_fn = jax.checkpoint(isqrt_fn)
-        m2_normalized = isqrt_fn(m2)
+        m2_normalized = isqrt_fn(centered, weighted)
 
         # 6) half-vectorize upper triangle -> [B, D(D+1)/2].  Paired packing:
         # O(1) tensor ops (the row-major packing needs gathers or a D-way

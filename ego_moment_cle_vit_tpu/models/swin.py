@@ -28,6 +28,7 @@ import numpy as np
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -171,6 +172,10 @@ class WindowAttention(nn.Module):
         attn = jnp.einsum(
             "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
         )  # [B*nW/p, H, p*N, p*N]
+        # named for the remat policy: the [*, pN, pN] logits/probs are the
+        # dominant training-memory cost (fp32, ~200 MB/block at B=64) and are
+        # cheap to recompute in backward (one einsum + softmax)
+        attn = checkpoint_name(attn, "attn_logits")
 
         bias_table = self.param(
             "relative_position_bias_table",
@@ -217,7 +222,9 @@ class WindowAttention(nn.Module):
             attn = attn + m[None, :, None].astype(attn.dtype)
             attn = attn.reshape(bnw // p, self.num_heads, p * n, p * n)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = checkpoint_name(attn, "attn_probs")
+        attn = attn.astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bnw, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -261,7 +268,17 @@ class SwinBlock(nn.Module):
         windows = _window_partition(x, ws)  # [B*nW, ws*ws, C]
         num_windows = (hp // ws) * (wp // ws)
         pack = 2 if num_windows % 2 == 0 else 1
-        attn_out = WindowAttention(
+        # flash-attention-style remat: everything in the attention module is
+        # saveable EXCEPT the named [*, pN, pN] logits/probs, which backward
+        # recomputes — trades one extra QK einsum + softmax per block for
+        # O(N^2)-per-window training memory
+        AttnRemat = nn.remat(
+            WindowAttention,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_logits", "attn_probs"
+            ),
+        )
+        attn_out = AttnRemat(
             self.num_heads, ws, pack=pack, dtype=self.dtype, name="attn"
         )(windows, mask)
         x = _window_reverse(attn_out, ws, hp, wp)

@@ -26,6 +26,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -96,7 +97,9 @@ class Attention(nn.Module):
         attn = jnp.einsum(
             "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
         )
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = checkpoint_name(attn, "attn_logits")
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = checkpoint_name(attn, "attn_probs").astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
@@ -123,7 +126,14 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        # remat the [B, H, N, N] logits/probs only (see swin.py WindowAttention)
+        AttnRemat = nn.remat(
+            Attention,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_logits", "attn_probs"
+            ),
+        )
+        x = x + AttnRemat(self.num_heads, dtype=self.dtype, name="attn")(y)
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
         return x

@@ -327,6 +327,70 @@ def graph_weighted_covariance(
     return m2.astype(tokens.dtype), centered
 
 
+def isqrt_cov_subspace(
+    centered: jnp.ndarray,
+    weighted: jnp.ndarray,
+    num_iterations: int = 3,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Newton–Schulz iSQRT of M2 = Zc^T (W Zc), run in the N-dim token
+    subspace — O(B(N^2 D + k N^3)) instead of O(B k D^3).
+
+    Why it is exact: for symmetric M2 every coupled-NS iterate is a
+    polynomial in M2 (Y_0 = I, Z_0 = M2, everything commutes), and for
+    M2 = A^T B̂ any polynomial satisfies p(A^T B̂) = p(0) I + A^T q(B̂ A^T) B̂.
+    So the whole iteration runs on S = B̂ A^T — an [N, N] matrix (N=49 for
+    the Swin flagship vs D=1024):
+
+        Y_k = a_k I + A^T G_k B̂,   a_{k+1} = 1.5 a_k,  a_0 = 1,  G_0 = 0
+        H_k = a_k^2 I + S (2 a_k G_k + G_k S G_k)
+        G_{k+1} = 1.5 G_k - 0.5 (a_k H_k + G_k S H_k)
+
+    with B̂ = (W Zc) / (tr(M2) + eps) — the same trace normalization and
+    final 1/sqrt(trace + eps) rescale as :func:`newton_schulz_isqrt`
+    (reference moment_head.py:28-70 semantics).  This replaces 3k batched
+    [D, D] matmuls with 5k batched [N, N] matmuls plus two [N, D^2]
+    reconstruction matmuls — ~70x fewer FLOPs at the flagship shapes, and
+    plain autodiff through it stays subspace-sized too.
+
+    Args:
+      centered: [B, N, D] centered tokens Zc.
+      weighted: [B, N, D] graph-weighted tokens W @ Zc.
+    Returns:
+      [B, D, D] approximate M2^{-1/2}, in the input dtype.
+    """
+    in_dtype = centered.dtype
+    a = centered.astype(jnp.float32)
+    b = weighted.astype(jnp.float32)
+    n = a.shape[-2]
+    d = a.shape[-1]
+
+    trace = jnp.sum(a * b, axis=(-2, -1))[..., None, None]  # tr(A^T B)
+    bh = b / (trace + eps)
+    s = jnp.einsum(
+        "bnd,bmd->bnm", bh, a, preferred_element_type=jnp.float32
+    )  # S = B̂ A^T  [B, N, N]
+
+    eye = jnp.eye(n, dtype=jnp.float32)
+    mm = partial(jnp.matmul, preferred_element_type=jnp.float32)
+    a_k = 1.0
+    g = jnp.zeros_like(s)
+    for _ in range(num_iterations):
+        sg = mm(s, g)
+        h = (a_k * a_k) * eye + mm(s, 2.0 * a_k * g + mm(g, sg))
+        g = 1.5 * g - 0.5 * (a_k * h + mm(g, mm(s, h)))
+        a_k = 1.5 * a_k
+
+    # reconstruct Y_K / sqrt(trace + eps) = (a_K I + A^T G_K B̂) / sqrt(...)
+    gb = mm(g, bh)  # [B, N, D]
+    low = jnp.einsum(
+        "bnd,bne->bde", a, gb, preferred_element_type=jnp.float32
+    )  # A^T (G B̂)  [B, D, D]
+    out = low + a_k * jnp.eye(d, dtype=jnp.float32)
+    out = out / jnp.sqrt(trace + eps)
+    return out.astype(in_dtype)
+
+
 def degree_weighted_centered_mean(
     centered: jnp.ndarray, weights: jnp.ndarray, eps: float = 1e-5
 ) -> jnp.ndarray:

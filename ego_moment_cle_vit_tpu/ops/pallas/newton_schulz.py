@@ -9,8 +9,13 @@ for the whole iteration — per batch element the HBM traffic drops from
 Uses the symmetric 3-matmul form (YZ = (ZY)^T for symmetric M — see
 ops.moments.newton_schulz_isqrt), fp32 throughout (numerics pinned).
 
-VMEM budget per program: M/out + Y + Z + T  =  4 x D^2 fp32.
-``newton_schulz_available`` gates on D (<= 896 keeps us under ~13 MB).
+VMEM budget per program: M/out + Y + Z + T  =  4 x D^2 fp32, which caps the
+fp32 variant at D ~ 800.  For 800 < D <= 1024 (the Swin-Base flagship head)
+a second kernel stores Y/Z/T as bf16 with fp32 MXU accumulation — the
+iteration is contractive (zero derivative at the fixed point) so per-step
+rounding does not compound; trace normalization/rescale stay fp32 outside.
+``newton_schulz_available`` gates the dispatch; D=1536 (swin_large) still
+falls back to pure XLA.
 
 Gradients: custom_vjp recomputing through the identical pure-XLA iteration.
 """
@@ -82,14 +87,119 @@ def _forward(matrix, num_iterations, eps):
     )(matrix)
 
 
+def _ns_kernel_bf16(
+    m_hbm, out_hbm, m_buf, y_scr, t1_scr, t2_scr, sem_in, sem_out, *, num_iterations
+):
+    """bf16-storage iteration on a PRE-NORMALIZED matrix (trace ~ 1).
+
+    VMEM strategy for D=1024 (4 MB/matrix fp32 doesn't fit 16 MB with
+    double-buffered blocks):
+    * single-matrix form — for symmetric M all iterates are polynomials in
+      M, so Z_k == M @ Y_k exactly and the coupled iteration collapses to
+      Y <- Y (3I - M Y^2) / 2 (same 3 matmuls/step, one less live matrix);
+    * manual HBM<->VMEM DMA (ANY memory space) — no pipelined in/out
+      blocks, just 4 x D^2 bf16 buffers = 8 MB at D=1024;
+    * row-halved matmuls — each dot materializes at most a [D/2, D] fp32
+      stack temp before the bf16 store (MXU still accumulates fp32).
+
+    The iteration map has zero derivative at its fixed point, so per-step
+    bf16 rounding does not compound.
+    """
+    i = pl.program_id(0)
+    copy_in = pltpu.make_async_copy(m_hbm.at[i], m_buf, sem_in)
+    copy_in.start()
+
+    dim = m_buf.shape[-1]
+    half = dim // 2
+    y_scr[:] = jnp.eye(dim, dtype=jnp.bfloat16)
+    copy_in.wait()
+
+    def halved_matmul(out_ref, lhs_ref, rhs_ref, combine=None):
+        # out[h] = lhs[h] @ rhs  (full-K contraction), one row-half at a time
+        for h in (0, 1):
+            sl = pl.ds(h * half, half)
+            prod = jax.lax.dot_general(
+                lhs_ref[sl, :], rhs_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if combine is not None:
+                prod = combine(out_ref[sl, :], prod)
+            out_ref[sl, :] = prod.astype(jnp.bfloat16)
+
+    for _ in range(num_iterations):
+        # T1 = Y @ Y ; T2 = M @ T1 ; Y <- 1.5 Y - 0.5 (Y @ T2)
+        halved_matmul(t1_scr, y_scr, y_scr)
+        halved_matmul(t2_scr, m_buf, t1_scr)
+        # in-place row-half update is safe: row-half h of the product reads
+        # only rows h of Y (and all of T2)
+        halved_matmul(
+            y_scr,
+            y_scr,
+            t2_scr,
+            combine=lambda y_old, prod: 1.5 * y_old.astype(jnp.float32)
+            - 0.5 * prod,
+        )
+
+    copy_out = pltpu.make_async_copy(y_scr, out_hbm.at[i], sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+
+def _forward_bf16(matrix, num_iterations, eps):
+    """fp32 [B, D, D] -> fp32-normalized result via the bf16-VMEM kernel.
+
+    Trace normalization and the 1/sqrt(trace) rescale stay fp32 in XLA;
+    only the contractive iteration itself runs in bf16 storage.
+    """
+    b, d, _ = matrix.shape
+    m32 = matrix.astype(jnp.float32)
+    trace = jnp.trace(m32, axis1=-2, axis2=-1)[:, None, None] + eps
+    mn = (m32 / trace).astype(jnp.bfloat16)
+    kernel = partial(_ns_kernel_bf16, num_iterations=num_iterations)
+    y = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, d, d), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((d, d), jnp.bfloat16),  # M
+            pltpu.VMEM((d, d), jnp.bfloat16),  # Y
+            pltpu.VMEM((d, d), jnp.bfloat16),  # T1
+            pltpu.VMEM((d, d), jnp.bfloat16),  # T2
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * num_iterations * 3 * 2 * d**3,
+            bytes_accessed=b * 2 * d * d * 2,
+            transcendentals=0,
+        ),
+    )(mn)
+    return (y.astype(jnp.float32) / jnp.sqrt(trace)).astype(matrix.dtype)
+
+
+def _dispatch(matrix, num_iterations, eps):
+    d = matrix.shape[-1]
+    if _fp32_fits(d):
+        return _forward(matrix, num_iterations, eps)
+    return _forward_bf16(matrix, num_iterations, eps)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def newton_schulz_isqrt_pallas(matrix, num_iterations: int = 5, eps: float = 1e-5):
-    """[B, D, D] symmetric PSD -> M^{-1/2}, VMEM-resident iteration."""
-    return _forward(matrix, num_iterations, eps)
+    """[B, D, D] symmetric PSD -> M^{-1/2}, VMEM-resident iteration.
+
+    D <= ~800: fully fp32 in VMEM.  800 < D <= 1024 (the Swin-Base flagship
+    head): bf16 VMEM storage with fp32 MXU accumulation (numerics note in
+    ``_ns_kernel_bf16``).  Larger D falls back to pure XLA upstream
+    (``newton_schulz_available``).
+    """
+    return _dispatch(matrix, num_iterations, eps)
 
 
 def _fwd(matrix, num_iterations, eps):
-    return _forward(matrix, num_iterations, eps), matrix
+    return _dispatch(matrix, num_iterations, eps), matrix
 
 
 def _bwd(num_iterations, eps, matrix, g):
@@ -105,10 +215,19 @@ def _bwd(num_iterations, eps, matrix, g):
 newton_schulz_isqrt_pallas.defvjp(_fwd, _bwd)
 
 
+def _fp32_fits(d: int) -> bool:
+    # M(in block) + out block + 3 scratch tiles, fp32, double-buffered I/O
+    return (5 * d * d * 4) < 13 * 1024 * 1024  # d <= ~800; 768 passes
+
+
 def newton_schulz_available(d: int, platform: str | None = None) -> bool:
     if platform is None:
         platform = jax.default_backend()
     if platform not in ("tpu",):
         return False
-    # M(in block) + out block + 3 scratch tiles, fp32, double-buffered I/O
-    return (5 * d * d * 4) < 13 * 1024 * 1024  # d <= ~800; 768 passes
+    if _fp32_fits(d):
+        return True
+    # bf16-storage variant: 3 scratch + double-buffered in/out blocks, bf16
+    # (D=1024 flagship: 10 MB + headroom).  D=1536 (swin_large) still
+    # exceeds VMEM (3 x 4.5 MB scratch + 9 MB I/O) -> XLA fallback.
+    return (7 * d * d * 2) < 15 * 1024 * 1024  # d <= ~1060; 1024 passes

@@ -76,21 +76,58 @@ def create_learning_rate_schedule(
 def create_optimizer(
     config: Dict[str, Any], steps_per_epoch: int
 ) -> optax.GradientTransformation:
-    """AdamW + global-norm clip + optional gradient accumulation."""
+    """AdamW + global-norm clip + optional gradient accumulation.
+
+    Huge 2-D leaves (default: >=32M params — the moment head's vech
+    projection is ~269M at D=1024) use a factored second moment (adafactor
+    statistics) with bf16 momentum instead of dense AdamW state: the AdamW
+    m/v read-modify-write on that one kernel otherwise dominates optimizer
+    HBM traffic (~25% of the whole step at B=16; docs/PERFORMANCE.md).
+    Disable with ``training.optimizer.factored_large_leaves: false`` for
+    strict reference-AdamW semantics (docs/DIVERGENCES.md).
+    """
     tcfg = config.get("training", {})
     opt = tcfg.get("optimizer", {})
     betas = opt.get("betas", [0.9, 0.999])
     schedule = create_learning_rate_schedule(config, steps_per_epoch)
 
+    adamw = optax.adamw(
+        learning_rate=schedule,
+        b1=float(betas[0]),
+        b2=float(betas[1]),
+        eps=float(opt.get("eps", 1e-8)),
+        weight_decay=float(opt.get("weight_decay", 0.05)),
+    )
+    factored_threshold = int(opt.get("factored_threshold", 32_000_000))
+    if opt.get("factored_large_leaves", True):
+        factored = optax.adafactor(
+            learning_rate=schedule,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=None,
+            decay_rate=float(betas[1]),
+            momentum=float(betas[0]),
+            dtype_momentum=jnp.bfloat16,
+            weight_decay_rate=float(opt.get("weight_decay", 0.05)),
+            eps=float(opt.get("eps", 1e-8)) ** 2,  # adafactor eps is on v
+        )
+
+        def label(params):
+            return jax.tree_util.tree_map(
+                lambda p: "factored"
+                if p.ndim == 2 and p.size >= factored_threshold
+                else "dense",
+                params,
+            )
+
+        inner = optax.multi_transform(
+            {"dense": adamw, "factored": factored}, label
+        )
+    else:
+        inner = adamw
+
     tx = optax.chain(
         optax.clip_by_global_norm(float(tcfg.get("grad_clip", 1.0))),
-        optax.adamw(
-            learning_rate=schedule,
-            b1=float(betas[0]),
-            b2=float(betas[1]),
-            eps=float(opt.get("eps", 1e-8)),
-            weight_decay=float(opt.get("weight_decay", 0.05)),
-        ),
+        inner,
     )
     # failure containment: skip non-finite updates instead of corrupting the
     # train state (the reference has no failure detection at all —

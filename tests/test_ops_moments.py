@@ -191,3 +191,42 @@ def test_tensor_sketch_differentiable(rng):
 
     g = jax.jit(jax.grad(loss))(x)
     assert g.shape == x.shape and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_isqrt_cov_subspace_equals_dense(rng):
+    """The token-subspace NS (polynomials in M2 collapse onto S = B̂ A^T)
+    must equal the dense D-space iteration exactly — values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from ego_moment_cle_vit_tpu.ops.moments import (
+        isqrt_cov_subspace,
+        newton_schulz_isqrt,
+    )
+
+    B, N, D = 3, 12, 48
+    c = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    w0 = rng.standard_normal((B, N, N)).astype(np.float32)
+    w = jnp.asarray(np.abs(w0 @ w0.transpose(0, 2, 1)))
+    weighted = jnp.einsum("bnm,bmd->bnd", w, c)
+    m2 = jnp.einsum("bnd,bne->bde", c, weighted)
+
+    for iters in (3, 5):
+        dense = newton_schulz_isqrt(m2, iters, assume_symmetric=True)
+        sub = isqrt_cov_subspace(c, weighted, iters)
+        rel = float(jnp.linalg.norm(sub - dense) / jnp.linalg.norm(dense))
+        assert rel < 1e-5, (iters, rel)
+
+    def loss_dense(c):
+        wc = jnp.einsum("bnm,bmd->bnd", w, c)
+        m2 = jnp.einsum("bnd,bne->bde", c, wc)
+        return jnp.sum(newton_schulz_isqrt(m2, 5, assume_symmetric=True) ** 2)
+
+    def loss_sub(c):
+        wc = jnp.einsum("bnm,bmd->bnd", w, c)
+        return jnp.sum(isqrt_cov_subspace(c, wc, 5) ** 2)
+
+    gd = jax.grad(loss_dense)(c)
+    gs = jax.grad(loss_sub)(c)
+    rel = float(jnp.linalg.norm(gs - gd) / jnp.linalg.norm(gd))
+    assert rel < 1e-5, rel

@@ -42,7 +42,10 @@ def test_fused_gpf_matches_xla(similarity):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-2, rtol=1e-4)
 
 
-def test_fused_gpf_gradients_match_xla():
+@pytest.mark.parametrize("similarity", ["cosine", "dot"])
+def test_fused_gpf_gradients_match_xla(similarity):
+    """The fused analytic backward kernel must match XLA autodiff exactly
+    (tokens AND coefficient grads, both similarity modes)."""
     from ego_moment_cle_vit_tpu.ops.pallas import fused_gpf_pallas
 
     rng = np.random.default_rng(11)
@@ -51,12 +54,12 @@ def test_fused_gpf_gradients_match_xla():
     coeffs = jnp.asarray(rng.uniform(0, 1, (3, 3)).astype(np.float32))
 
     def loss_pallas(a, p, c):
-        return jnp.sum(fused_gpf_pallas(a, p, c, "cosine", 1e-6, True) ** 2)
+        return jnp.sum(fused_gpf_pallas(a, p, c, similarity, 1e-6, True) ** 2)
 
     def loss_xla(a, p, c):
         g = gpf_fuse(
-            token_similarity_graph(a, "cosine"),
-            token_similarity_graph(p, "cosine"),
+            token_similarity_graph(a, similarity),
+            token_similarity_graph(p, similarity),
             c,
         )
         return jnp.sum(g**2)
@@ -92,6 +95,22 @@ def test_pallas_newton_schulz_grad_matches():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3, rtol=1e-3)
 
 
+def test_pallas_newton_schulz_bf16_variant_close_to_fp32():
+    """The bf16-VMEM kernel (D>800 dispatch) tracks the fp32 XLA iteration
+    to bf16 rounding accuracy — the iteration is contractive, so per-step
+    rounding must not compound."""
+    from ego_moment_cle_vit_tpu.ops.pallas.newton_schulz import _forward_bf16
+
+    rng = np.random.default_rng(13)
+    d = 64
+    a = rng.standard_normal((B, d, d)).astype(np.float32)
+    m = a @ a.transpose(0, 2, 1) / d + 0.5 * np.eye(d, dtype=np.float32)
+    got = np.asarray(_forward_bf16(jnp.asarray(m), 5, 1e-5))
+    want = np.asarray(newton_schulz_isqrt(jnp.asarray(m), 5, assume_symmetric=True))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-2, rel
+
+
 def test_availability_predicates():
     from ego_moment_cle_vit_tpu.ops.pallas import (
         fused_gpf_available,
@@ -104,4 +123,7 @@ def test_availability_predicates():
     # TPU: sized by VMEM budget
     assert fused_gpf_available(196, 1536, platform="tpu")
     assert newton_schulz_available(768, platform="tpu")
+    # flagship D=1024 now covered by the bf16-storage variant
+    assert newton_schulz_available(1024, platform="tpu")
+    # swin_large D=1536 still exceeds VMEM -> XLA fallback
     assert not newton_schulz_available(1536, platform="tpu")
