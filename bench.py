@@ -123,6 +123,10 @@ def main() -> int:
             "backbone_name": backbone,
             "norm": "layer",
             "bf16": True,
+            # 'attn' suffices to B<=32; 'block' for larger batches
+            "backbone_remat": os.environ.get(
+                "BENCH_REMAT", "attn" if batch <= 32 else "block"
+            ),
             "gpf": {"degree_p": 2, "degree_q": 2, "similarity": "dot"},
             "moment": {
                 "d_out": d_out,
@@ -134,7 +138,11 @@ def main() -> int:
         },
         "training": {
             "batch_size": batch,
-            "optimizer": {"lr": 3e-4},
+            "optimizer": {
+                "lr": 3e-4,
+                "factored_large_leaves": os.environ.get("BENCH_FACTORED", "1")
+                == "1",
+            },
             "scheduler": {"warmup_epochs": 0},
             "loss": {"lambda_triplet": 0.6, "lambda_align": 0.1, "margin": 0.3},
             "epochs": 1,

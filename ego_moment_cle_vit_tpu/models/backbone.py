@@ -56,32 +56,31 @@ class CLEViTBackbone(nn.Module):
     model_name: str = "vit_small_patch16_224"
     drop_rate: float = 0.0
     img_size: int | None = None
+    remat: str = "attn"
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        import dataclasses
+
         if self.model_name in VIT_CONFIGS:
             cfg = VIT_CONFIGS[self.model_name]
-            if self.img_size is not None or self.drop_rate:
-                import dataclasses
-
-                cfg = dataclasses.replace(
-                    cfg,
-                    img_size=self.img_size or cfg.img_size,
-                    drop_rate=self.drop_rate,
-                )
+            cfg = dataclasses.replace(
+                cfg,
+                img_size=self.img_size or cfg.img_size,
+                drop_rate=self.drop_rate,
+                remat=self.remat,
+            )
             self.net = ViT(cfg, dtype=self.dtype, name="vit")
             self.has_cls_token = True
             self.num_features = cfg.embed_dim
         elif self.model_name in SWIN_CONFIGS:
             cfg = SWIN_CONFIGS[self.model_name]
-            if self.img_size is not None or self.drop_rate:
-                import dataclasses
-
-                cfg = dataclasses.replace(
-                    cfg,
-                    img_size=self.img_size or cfg.img_size,
-                    drop_rate=self.drop_rate,
-                )
+            cfg = dataclasses.replace(
+                cfg,
+                img_size=self.img_size or cfg.img_size,
+                drop_rate=self.drop_rate,
+                remat=self.remat,
+            )
             self.net = Swin(cfg, dtype=self.dtype, name="swin")
             self.has_cls_token = False
             self.num_features = cfg.num_features
@@ -121,6 +120,7 @@ class CLEViTDualStream(nn.Module):
     model_name: str = "vit_small_patch16_224"
     drop_rate: float = 0.0
     img_size: int | None = None
+    remat: str = "attn"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -128,6 +128,7 @@ class CLEViTDualStream(nn.Module):
             model_name=self.model_name,
             drop_rate=self.drop_rate,
             img_size=self.img_size,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.num_features = self.backbone.num_features

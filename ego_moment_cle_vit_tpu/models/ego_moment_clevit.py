@@ -68,6 +68,7 @@ class EGOMomentCLEViT(nn.Module):
     margin: float = 0.3
     dropout: float = 0.1
     norm: str = "layer"  # 'batch' for reference BatchNorm parity
+    backbone_remat: str = "attn"  # 'none' | 'attn' | 'block'
     moment_remat: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -77,6 +78,7 @@ class EGOMomentCLEViT(nn.Module):
             model_name=self.backbone_name,
             drop_rate=self.dropout,
             img_size=self.img_size,
+            remat=self.backbone_remat,
             dtype=self.dtype,
         )
         backbone_dim = self.backbone.num_features
@@ -309,6 +311,7 @@ def create_model(config: Dict[str, Any], num_classes: int) -> EGOMomentCLEViT:
         margin=loss.get("margin", 0.3),
         dropout=classifier.get("dropout", 0.1),
         norm=mcfg.get("norm", "layer"),
+        backbone_remat=mcfg.get("backbone_remat", "attn"),
         moment_remat=moment.get("remat", False),
         dtype=jnp.bfloat16 if mcfg.get("bf16", False) else jnp.float32,
     )

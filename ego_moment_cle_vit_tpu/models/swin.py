@@ -44,6 +44,11 @@ class SwinConfig:
     mlp_ratio: float = 4.0
     drop_rate: float = 0.0
     layer_norm_eps: float = 1e-5
+    # rematerialization granularity: 'attn' recomputes only the [*, N, N]
+    # attention logits/probs in backward (cheapest recompute; enough for
+    # B<=32 at 224^2); 'block' recomputes whole blocks from their inputs
+    # (max memory headroom for large batch); 'none' saves everything.
+    remat: str = "attn"
 
     @property
     def num_features(self) -> int:
@@ -236,6 +241,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     input_resolution: Tuple[int, int]
     layer_norm_eps: float = 1e-5
+    remat: str = "attn"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -272,13 +278,16 @@ class SwinBlock(nn.Module):
         # saveable EXCEPT the named [*, pN, pN] logits/probs, which backward
         # recomputes — trades one extra QK einsum + softmax per block for
         # O(N^2)-per-window training memory
-        AttnRemat = nn.remat(
-            WindowAttention,
-            policy=jax.checkpoint_policies.save_anything_except_these_names(
-                "attn_logits", "attn_probs"
-            ),
-        )
-        attn_out = AttnRemat(
+        if self.remat == "attn":
+            Attn = nn.remat(
+                WindowAttention,
+                policy=jax.checkpoint_policies.save_anything_except_these_names(
+                    "attn_logits", "attn_probs"
+                ),
+            )
+        else:
+            Attn = WindowAttention
+        attn_out = Attn(
             self.num_heads, ws, pack=pack, dtype=self.dtype, name="attn"
         )(windows, mask)
         x = _window_reverse(attn_out, ws, hp, wp)
@@ -347,17 +356,22 @@ class Swin(nn.Module):
         if cfg.drop_rate > 0:
             x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
+        # 'block' remat saves only each block's input and recomputes the
+        # whole block in backward — needed at large batch where even the
+        # attn-only policy's transient recompute temps exceed HBM
+        BlockCls = nn.remat(SwinBlock) if cfg.remat == "block" else SwinBlock
         res = (h, w)
         for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
             for blk in range(depth):
                 shift = 0 if blk % 2 == 0 else cfg.window_size // 2
-                x = SwinBlock(
+                x = BlockCls(
                     num_heads=heads,
                     window_size=cfg.window_size,
                     shift_size=shift,
                     mlp_ratio=cfg.mlp_ratio,
                     input_resolution=res,
                     layer_norm_eps=cfg.layer_norm_eps,
+                    remat="none" if cfg.remat == "block" else cfg.remat,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
                 )(x)

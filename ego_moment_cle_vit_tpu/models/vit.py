@@ -41,6 +41,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     drop_rate: float = 0.0
     layer_norm_eps: float = 1e-6
+    remat: str = "attn"  # 'none' | 'attn' | 'block' (see swin.SwinConfig)
 
     @property
     def num_patches(self) -> int:
@@ -120,20 +121,24 @@ class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: float
     layer_norm_eps: float = 1e-6
+    remat: str = "attn"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        # remat the [B, H, N, N] logits/probs only (see swin.py WindowAttention)
-        AttnRemat = nn.remat(
-            Attention,
-            policy=jax.checkpoint_policies.save_anything_except_these_names(
-                "attn_logits", "attn_probs"
-            ),
-        )
-        x = x + AttnRemat(self.num_heads, dtype=self.dtype, name="attn")(y)
+        if self.remat == "attn":
+            # remat the [B, H, N, N] logits/probs only (see swin.py)
+            Attn = nn.remat(
+                Attention,
+                policy=jax.checkpoint_policies.save_anything_except_these_names(
+                    "attn_logits", "attn_probs"
+                ),
+            )
+        else:
+            Attn = Attention
+        x = x + Attn(self.num_heads, dtype=self.dtype, name="attn")(y)
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
         return x
@@ -172,11 +177,15 @@ class ViT(nn.Module):
         if cfg.drop_rate > 0:
             x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
+        BlockCls = (
+            nn.remat(TransformerBlock) if cfg.remat == "block" else TransformerBlock
+        )
         for i in range(cfg.depth):
-            x = TransformerBlock(
+            x = BlockCls(
                 cfg.num_heads,
                 cfg.mlp_ratio,
                 cfg.layer_norm_eps,
+                remat="none" if cfg.remat == "block" else cfg.remat,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

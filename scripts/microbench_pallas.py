@@ -1,7 +1,14 @@
 #!/usr/bin/env python
-"""Microbenchmark: Pallas kernels vs pure-XLA for the hot pipeline ops on
-the real TPU chip.  Prints a small table; used to validate the dispatch
-thresholds in ops/pallas.
+"""Microbenchmark: Pallas kernels + subspace ops vs pure-XLA for the hot
+pipeline ops on the real TPU chip.  Prints a small table; used to validate
+the dispatch thresholds in ops/pallas and the moment-head iSQRT gate.
+
+Covers (each with correctness cross-check on device):
+* GPF forward: fused Pallas kernel vs XLA composition
+* GPF TRAIN-MODE round trip (forward + backward): fused analytic-VJP
+  kernel pair vs XLA autodiff
+* Newton-Schulz iSQRT: VMEM kernel (fp32 D<=800, bf16 D=1024) vs XLA
+* iSQRT-COV at flagship shapes: token-subspace form vs dense NS
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/microbench_pallas.py
 """
@@ -13,19 +20,26 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, iters=20):
+def timeit_scalar(fn, *args, iters=20):
+    """fn must return a scalar; host fetch is the only reliable axon fence."""
     out = fn(*args)
-    # host-fetch fence (axon block_until_ready is unreliable)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])[..., 0]
+    float(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])[..., 0]
+    float(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
 if __name__ == "__main__":
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     import jax.numpy as jnp
 
     from ego_moment_cle_vit_tpu.ops import (
@@ -33,49 +47,121 @@ if __name__ == "__main__":
         newton_schulz_isqrt,
         token_similarity_graph,
     )
+    from ego_moment_cle_vit_tpu.ops.moments import isqrt_cov_subspace
     from ego_moment_cle_vit_tpu.ops.pallas import (
         fused_gpf_pallas,
         newton_schulz_isqrt_pallas,
     )
 
-    print(f"backend: {jax.default_backend()} {jax.devices()}")
+    print(f"backend: {jax.default_backend()} {jax.devices()}", flush=True)
     rng = np.random.default_rng(0)
+
+    def gpf_xla(a, p, c):
+        return gpf_fuse(
+            token_similarity_graph(a, "cosine"),
+            token_similarity_graph(p, "cosine"),
+            c,
+        )
+
+    def gpf_pls(a, p, c):
+        return fused_gpf_pallas(a, p, c, "cosine", 1e-6, True)
 
     for b, n, d in ((16, 196, 384), (16, 196, 768), (16, 49, 1024)):
         ta = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
         tp = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
         coeffs = jnp.asarray(rng.uniform(0, 1, (3, 3)).astype(np.float32))
 
-        xla = jax.jit(
-            lambda a, p, c: gpf_fuse(
-                token_similarity_graph(a, "cosine"),
-                token_similarity_graph(p, "cosine"),
-                c,
+        # --- forward ---
+        f_xla = jax.jit(lambda a, p, c: jnp.sum(gpf_xla(a, p, c)))
+        f_pls = jax.jit(lambda a, p, c: jnp.sum(gpf_pls(a, p, c)))
+        t_xla = timeit_scalar(f_xla, ta, tp, coeffs)
+        t_pls = timeit_scalar(f_pls, ta, tp, coeffs)
+        diff = float(
+            jnp.max(
+                jnp.abs(
+                    jax.jit(gpf_xla)(ta, tp, coeffs)
+                    - jax.jit(gpf_pls)(ta, tp, coeffs)
+                )
             )
         )
-        pls = jax.jit(
-            lambda a, p, c: fused_gpf_pallas(a, p, c, "cosine", 1e-6, True)
-        )
-        t_xla = timeit(xla, ta, tp, coeffs)
-        t_pls = timeit(pls, ta, tp, coeffs)
-        # correctness cross-check on device
-        diff = float(
-            jnp.max(jnp.abs(xla(ta, tp, coeffs) - pls(ta, tp, coeffs)))
-        )
         print(
-            f"GPF  B{b} N{n} D{d}:  xla {t_xla:7.3f} ms   pallas {t_pls:7.3f} ms "
-            f"  speedup {t_xla / t_pls:4.2f}x   maxdiff {diff:.2e}"
+            f"GPF fwd   B{b} N{n} D{d}:  xla {t_xla:7.3f} ms   pallas {t_pls:7.3f} ms "
+            f"  speedup {t_xla / t_pls:4.2f}x   maxdiff {diff:.2e}",
+            flush=True,
         )
 
-    for b, d in ((16, 384), (16, 768)):
-        a = rng.standard_normal((b, d, d)).astype(np.float32)
-        m = jnp.asarray(a @ a.transpose(0, 2, 1) / d + 0.5 * np.eye(d, dtype=np.float32))
-        xla = jax.jit(lambda x: newton_schulz_isqrt(x, 5, assume_symmetric=True))
-        pls = jax.jit(lambda x: newton_schulz_isqrt_pallas(x, 5, 1e-5))
-        t_xla = timeit(xla, m)
-        t_pls = timeit(pls, m)
-        diff = float(jnp.max(jnp.abs(xla(m) - pls(m))))
+        # --- train-mode round trip (forward + backward) ---
+        def loss_xla(a, p, c):
+            return jnp.sum(gpf_xla(a, p, c) ** 2)
+
+        def loss_pls(a, p, c):
+            return jnp.sum(gpf_pls(a, p, c) ** 2)
+
+        g_xla = jax.jit(
+            lambda a, p, c: sum(
+                jnp.sum(x) for x in jax.grad(loss_xla, argnums=(0, 1, 2))(a, p, c)
+            )
+        )
+        g_pls = jax.jit(
+            lambda a, p, c: sum(
+                jnp.sum(x) for x in jax.grad(loss_pls, argnums=(0, 1, 2))(a, p, c)
+            )
+        )
+        t_xla = timeit_scalar(g_xla, ta, tp, coeffs)
+        t_pls = timeit_scalar(g_pls, ta, tp, coeffs)
+        diff = float(jnp.abs(g_xla(ta, tp, coeffs) - g_pls(ta, tp, coeffs)))
         print(
-            f"NS5  B{b} D{d}:      xla {t_xla:7.3f} ms   pallas {t_pls:7.3f} ms "
-            f"  speedup {t_xla / t_pls:4.2f}x   maxdiff {diff:.2e}"
+            f"GPF f+b   B{b} N{n} D{d}:  xla {t_xla:7.3f} ms   pallas {t_pls:7.3f} ms "
+            f"  speedup {t_xla / t_pls:4.2f}x   graddiff {diff:.2e}",
+            flush=True,
+        )
+
+    for b, d in ((16, 384), (16, 768), (16, 1024)):
+        a = rng.standard_normal((b, d, 64)).astype(np.float32)
+        m = jnp.asarray(
+            a @ a.transpose(0, 2, 1) / 64 + 0.5 * np.eye(d, dtype=np.float32)
+        )
+        f_xla = jax.jit(
+            lambda x: jnp.sum(newton_schulz_isqrt(x, 5, assume_symmetric=True))
+        )
+        f_pls = jax.jit(lambda x: jnp.sum(newton_schulz_isqrt_pallas(x, 5, 1e-5)))
+        t_xla = timeit_scalar(f_xla, m)
+        t_pls = timeit_scalar(f_pls, m)
+        diff = float(jnp.abs(f_xla(m) - f_pls(m))) / (d * d * b)
+        kind = "fp32" if d <= 800 else "bf16"
+        print(
+            f"NS5 {kind}  B{b} D{d}:      xla {t_xla:7.3f} ms   pallas {t_pls:7.3f} ms "
+            f"  speedup {t_xla / t_pls:4.2f}x   meandiff {diff:.2e}",
+            flush=True,
+        )
+
+    # flagship iSQRT-COV: subspace vs dense (fwd and train-mode round trip)
+    for b, n, d in ((16, 49, 1024), (16, 196, 768), (64, 49, 1024)):
+        c = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        w0 = rng.standard_normal((b, n, n)).astype(np.float32)
+        w = jnp.asarray(np.abs(w0 @ w0.transpose(0, 2, 1)))
+
+        def dense(c):
+            wc = jnp.einsum("bnm,bmd->bnd", w, c)
+            m2 = jnp.einsum("bnd,bne->bde", c, wc)
+            return newton_schulz_isqrt(m2, 5, assume_symmetric=True)
+
+        def sub(c):
+            wc = jnp.einsum("bnm,bmd->bnd", w, c)
+            return isqrt_cov_subspace(c, wc, 5)
+
+        f_dense = jax.jit(lambda c: jnp.sum(dense(c)))
+        f_sub = jax.jit(lambda c: jnp.sum(sub(c)))
+        t_dense = timeit_scalar(f_dense, c)
+        t_sub = timeit_scalar(f_sub, c)
+        g_dense = jax.jit(jax.grad(lambda c: jnp.sum(dense(c) ** 2)))
+        g_sub = jax.jit(jax.grad(lambda c: jnp.sum(sub(c) ** 2)))
+        tg_dense = timeit_scalar(lambda c: jnp.sum(g_dense(c)), c)
+        tg_sub = timeit_scalar(lambda c: jnp.sum(g_sub(c)), c)
+        diff = float(jnp.abs(f_dense(c) - f_sub(c))) / (d * d * b)
+        print(
+            f"iSQRT-COV B{b} N{n} D{d}: dense {t_dense:7.3f} ms  subspace {t_sub:7.3f} ms "
+            f" ({t_dense / t_sub:5.2f}x) | f+b dense {tg_dense:7.3f} ms  subspace "
+            f"{tg_sub:7.3f} ms ({tg_dense / tg_sub:5.2f}x)  meandiff {diff:.2e}",
+            flush=True,
         )
