@@ -100,15 +100,21 @@ def create_optimizer(
     )
     factored_threshold = int(opt.get("factored_threshold", 32_000_000))
     if opt.get("factored_large_leaves", True):
-        factored = optax.adafactor(
-            learning_rate=schedule,
-            multiply_by_parameter_scale=False,
-            clipping_threshold=None,
-            decay_rate=float(betas[1]),
-            momentum=float(betas[0]),
-            dtype_momentum=jnp.bfloat16,
-            weight_decay_rate=float(opt.get("weight_decay", 0.05)),
-            eps=float(opt.get("eps", 1e-8)) ** 2,  # adafactor eps is on v
+        # AdamW-shaped chain with a factored second moment: rms-rescale ->
+        # bf16 momentum -> DECOUPLED weight decay -> lr scale.  (Stock
+        # optax.adafactor applies weight_decay_rate AFTER the lr scaling,
+        # i.e. an lr-independent 5%/step shrink — not AdamW semantics.)
+        factored = optax.chain(
+            optax.scale_by_factored_rms(
+                factored=True,
+                decay_rate=float(betas[1]),
+                epsilon=float(opt.get("eps", 1e-8)) ** 2,
+            ),
+            optax.ema(
+                float(betas[0]), debias=False, accumulator_dtype=jnp.bfloat16
+            ),
+            optax.add_decayed_weights(float(opt.get("weight_decay", 0.05))),
+            optax.scale_by_learning_rate(schedule),
         )
 
         def label(params):
