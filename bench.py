@@ -18,7 +18,9 @@ bound, docs/spec.md:328) =~ 115 GFLOP/img; at 40% AMP utilization of
 measured CPU-side PIL augmentation bottleneck (8 workers, ~45 ms/sample
 chain) to ~180 img/s.  BASELINE.json's target is >=3x that per chip.
 
-Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 20),
+Env knobs: BENCH_BATCH (default 32 — the measured-best batch on one v5e:
+16 -> 118.4, 32 -> 124.8, 64+block-remat -> 102.4 img/s/chip),
+BENCH_STEPS (default 20),
 BENCH_PRESET=small for a vit-small quick run, BENCH_MODE=infer to measure
 the specialized single-pass serving path instead of the train step.
 (Note: on the axon tunnel the swin-base BENCH_MODE=infer FIRST compile can
@@ -110,7 +112,7 @@ def main() -> int:
     from ego_moment_cle_vit_tpu.train.state import create_train_state
 
     preset = os.environ.get("BENCH_PRESET", "full")
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     if preset == "small":

@@ -32,6 +32,10 @@ from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
+# profiling ablation hooks (scripts/profile_swin.py); both off in production
+_PROFILE_NOSHIFT = False
+_PROFILE_PACK1 = False
+
 
 @dataclasses.dataclass(frozen=True)
 class SwinConfig:
@@ -187,45 +191,55 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * ws - 1) ** 2, self.num_heads),
         )
-        rel_index = jnp.asarray(_relative_position_index(ws).reshape(-1))
-        bias = bias_table[rel_index].reshape(n, n, self.num_heads)
+        # one-hot matmul instead of a gather: generic gathers run ~100x
+        # slower than matmuls on this TPU (and the gather would be replayed
+        # in every remat backward)
+        onehot = jnp.asarray(
+            np.eye((2 * ws - 1) ** 2, dtype=np.float32)[
+                _relative_position_index(ws).reshape(-1)
+            ]
+        )  # [N*N, table] trace-time constant
+        bias = (onehot @ bias_table.astype(jnp.float32)).reshape(
+            n, n, self.num_heads
+        )
         bias = bias.transpose(2, 0, 1)  # [H, N, N]
+
+        # Pre-combine bias + pack cross-mask + shift/pad mask into ONE
+        # additive tensor so the big [*, pN, pN] logits see a single fused
+        # add before softmax (each separate add is a full HBM sweep of the
+        # logits — measured as the dominant Swin cost on v5e).
         if p > 1:
-            # place the bias on the diagonal blocks; cross-window blocks are
-            # sealed off below
-            eye = jnp.eye(p, dtype=bias.dtype)
+            # bias on the diagonal blocks, -100 sealing the cross blocks
+            eye = jnp.eye(p, dtype=jnp.float32)
             bias = jnp.einsum("pq,hnm->hpnqm", eye, bias).reshape(
                 self.num_heads, p * n, p * n
             )
-        attn = attn + bias[None].astype(attn.dtype)
-
-        if p > 1:
-            # block-diagonal separation between packed windows
             cross = -100.0 * (
                 1.0
-                - jnp.repeat(
-                    jnp.repeat(jnp.eye(p, dtype=attn.dtype), n, axis=0), n, axis=1
-                )
+                - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)
             )
-            attn = attn + cross[None, None]
+            bias = bias + cross[None]
 
         if mask is not None:
             nw = mask.shape[0]
             if p > 1:
                 # [nW, N, N] -> block-diagonal [nW/p, p*N, p*N]
                 m = mask.reshape(nw // p, p, n, n)
-                eye = jnp.eye(p, dtype=mask.dtype)
+                eye = jnp.eye(p, dtype=jnp.float32)
                 m = jnp.einsum("gpnm,pq->gpnqm", m, eye).reshape(
                     nw // p, p * n, p * n
                 )
             else:
                 m = mask
             groups = m.shape[0]
+            combined = bias[None] + m[:, None]  # [groups, H, pN, pN]
             attn = attn.reshape(
                 bnw // p // groups, groups, self.num_heads, p * n, p * n
             )
-            attn = attn + m[None, :, None].astype(attn.dtype)
+            attn = attn + combined[None]
             attn = attn.reshape(bnw // p, self.num_heads, p * n, p * n)
+        else:
+            attn = attn + bias[None]
 
         attn = jax.nn.softmax(attn, axis=-1)
         attn = checkpoint_name(attn, "attn_probs")
@@ -255,6 +269,8 @@ class SwinBlock(nn.Module):
         # disabled when a single window covers the whole map.
         ws = min(self.window_size, h, w)
         shift = self.shift_size if (self.shift_size > 0 and min(h, w) > ws) else 0
+        if _PROFILE_NOSHIFT:
+            shift = 0
         if shift >= ws:
             shift = ws // 2
         hp = -(-h // ws) * ws
@@ -274,6 +290,8 @@ class SwinBlock(nn.Module):
         windows = _window_partition(x, ws)  # [B*nW, ws*ws, C]
         num_windows = (hp // ws) * (wp // ws)
         pack = 2 if num_windows % 2 == 0 else 1
+        if _PROFILE_PACK1:
+            pack = 1
         # flash-attention-style remat: everything in the attention module is
         # saveable EXCEPT the named [*, pN, pN] logits/probs, which backward
         # recomputes — trades one extra QK einsum + softmax per block for
