@@ -57,6 +57,7 @@ class CLEViTBackbone(nn.Module):
     drop_rate: float = 0.0
     img_size: int | None = None
     remat: str = "attn"
+    attn_kernel: str = "auto"  # Swin-only: fused Pallas window attention
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -80,6 +81,7 @@ class CLEViTBackbone(nn.Module):
                 img_size=self.img_size or cfg.img_size,
                 drop_rate=self.drop_rate,
                 remat=self.remat,
+                attn_kernel=self.attn_kernel,
             )
             self.net = Swin(cfg, dtype=self.dtype, name="swin")
             self.has_cls_token = False
@@ -121,6 +123,7 @@ class CLEViTDualStream(nn.Module):
     drop_rate: float = 0.0
     img_size: int | None = None
     remat: str = "attn"
+    attn_kernel: str = "auto"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -129,6 +132,7 @@ class CLEViTDualStream(nn.Module):
             drop_rate=self.drop_rate,
             img_size=self.img_size,
             remat=self.remat,
+            attn_kernel=self.attn_kernel,
             dtype=self.dtype,
         )
         self.num_features = self.backbone.num_features

@@ -69,6 +69,7 @@ class EGOMomentCLEViT(nn.Module):
     dropout: float = 0.1
     norm: str = "layer"  # 'batch' for reference BatchNorm parity
     backbone_remat: str = "attn"  # 'none' | 'attn' | 'block'
+    backbone_attn_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Swin only)
     moment_remat: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
@@ -79,6 +80,7 @@ class EGOMomentCLEViT(nn.Module):
             drop_rate=self.dropout,
             img_size=self.img_size,
             remat=self.backbone_remat,
+            attn_kernel=self.backbone_attn_kernel,
             dtype=self.dtype,
         )
         backbone_dim = self.backbone.num_features
@@ -312,6 +314,7 @@ def create_model(config: Dict[str, Any], num_classes: int) -> EGOMomentCLEViT:
         dropout=classifier.get("dropout", 0.1),
         norm=mcfg.get("norm", "layer"),
         backbone_remat=mcfg.get("backbone_remat", "attn"),
+        backbone_attn_kernel=mcfg.get("backbone_attn_kernel", "auto"),
         moment_remat=moment.get("remat", False),
         dtype=jnp.bfloat16 if mcfg.get("bf16", False) else jnp.float32,
     )

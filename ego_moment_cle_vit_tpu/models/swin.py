@@ -30,7 +30,24 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
+from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
+    flash_window_attention,
+    window_attention_available,
+)
+
 Dtype = Any
+
+
+def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
+    """Resolve the attn_kernel config ('auto'|'on'|'off') for one block."""
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and window_attention_available(t, c, num_heads)
+    )
 
 # profiling ablation hooks (scripts/profile_swin.py); both off in production
 _PROFILE_NOSHIFT = False
@@ -53,6 +70,10 @@ class SwinConfig:
     # B<=32 at 224^2); 'block' recomputes whole blocks from their inputs
     # (max memory headroom for large batch); 'none' saves everything.
     remat: str = "attn"
+    # fused Pallas window attention ('auto' = on TPU when shapes qualify).
+    # When active it supersedes the 'attn' remat policy: the [*, pN, pN]
+    # logits/probs live only in VMEM, forward and backward.
+    attn_kernel: str = "auto"
 
     @property
     def num_features(self) -> int:
@@ -161,6 +182,8 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     pack: int = 1  # windows fused into one attention problem
+    num_windows: int = 1  # windows per image (for the kernel-path layout)
+    use_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -174,17 +197,6 @@ class WindowAttention(nn.Module):
         p = self.pack if (bnw % self.pack == 0) else 1
 
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bnw // p, p * n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
-        scale = head_dim**-0.5
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
-        )  # [B*nW/p, H, p*N, p*N]
-        # named for the remat policy: the [*, pN, pN] logits/probs are the
-        # dominant training-memory cost (fp32, ~200 MB/block at B=64) and are
-        # cheap to recompute in backward (one einsum + softmax)
-        attn = checkpoint_name(attn, "attn_logits")
 
         bias_table = self.param(
             "relative_position_bias_table",
@@ -204,10 +216,11 @@ class WindowAttention(nn.Module):
         )
         bias = bias.transpose(2, 0, 1)  # [H, N, N]
 
-        # Pre-combine bias + pack cross-mask + shift/pad mask into ONE
-        # additive tensor so the big [*, pN, pN] logits see a single fused
-        # add before softmax (each separate add is a full HBM sweep of the
-        # logits — measured as the dominant Swin cost on v5e).
+        # Pre-combine bias + pack cross-mask (and, on the XLA path, the
+        # shift/pad mask) into ONE additive tensor so the big [*, pN, pN]
+        # logits see a single fused add before softmax (each separate add
+        # is a full HBM sweep of the logits — measured as the dominant
+        # Swin cost on v5e).
         if p > 1:
             # bias on the diagonal blocks, -100 sealing the cross blocks
             eye = jnp.eye(p, dtype=jnp.float32)
@@ -220,17 +233,44 @@ class WindowAttention(nn.Module):
             )
             bias = bias + cross[None]
 
+        m = None
         if mask is not None:
             nw = mask.shape[0]
             if p > 1:
                 # [nW, N, N] -> block-diagonal [nW/p, p*N, p*N]
-                m = mask.reshape(nw // p, p, n, n)
+                mm = mask.reshape(nw // p, p, n, n)
                 eye = jnp.eye(p, dtype=jnp.float32)
-                m = jnp.einsum("gpnm,pq->gpnqm", m, eye).reshape(
+                m = jnp.einsum("gpnm,pq->gpnqm", mm, eye).reshape(
                     nw // p, p * n, p * n
                 )
             else:
                 m = mask
+
+        if self.use_kernel:
+            # Fused Pallas path: qkv in its natural [B, W, pN, 3C] layout
+            # (row index = b*nW + w, pack groups p consecutive windows —
+            # identical grouping to the XLA reshape below), logits VMEM-only.
+            t = p * n
+            wg = self.num_windows // p
+            qkv4 = qkv.reshape(bnw // self.num_windows, wg, t, 3 * c)
+            madd = m if m is not None else jnp.zeros((1, t, t), jnp.float32)
+            out = flash_window_attention(qkv4, bias, madd, self.num_heads)
+            out = out.reshape(bnw, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+        qkv = qkv.reshape(bnw // p, p * n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = head_dim**-0.5
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+        )  # [B*nW/p, H, p*N, p*N]
+        # named for the remat policy: the [*, pN, pN] logits/probs are the
+        # dominant training-memory cost (fp32, ~200 MB/block at B=64) and are
+        # cheap to recompute in backward (one einsum + softmax)
+        attn = checkpoint_name(attn, "attn_logits")
+
+        if m is not None:
             groups = m.shape[0]
             combined = bias[None] + m[:, None]  # [groups, H, pN, pN]
             attn = attn.reshape(
@@ -256,6 +296,7 @@ class SwinBlock(nn.Module):
     input_resolution: Tuple[int, int]
     layer_norm_eps: float = 1e-5
     remat: str = "attn"
+    attn_kernel: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -292,11 +333,15 @@ class SwinBlock(nn.Module):
         pack = 2 if num_windows % 2 == 0 else 1
         if _PROFILE_PACK1:
             pack = 1
+        use_kernel = _use_attn_kernel(
+            self.attn_kernel, pack * ws * ws, c, self.num_heads
+        )
         # flash-attention-style remat: everything in the attention module is
         # saveable EXCEPT the named [*, pN, pN] logits/probs, which backward
         # recomputes — trades one extra QK einsum + softmax per block for
-        # O(N^2)-per-window training memory
-        if self.remat == "attn":
+        # O(N^2)-per-window training memory.  The Pallas kernel supersedes
+        # this: its backward recomputes logits in VMEM by construction.
+        if self.remat == "attn" and not use_kernel:
             Attn = nn.remat(
                 WindowAttention,
                 policy=jax.checkpoint_policies.save_anything_except_these_names(
@@ -306,7 +351,13 @@ class SwinBlock(nn.Module):
         else:
             Attn = WindowAttention
         attn_out = Attn(
-            self.num_heads, ws, pack=pack, dtype=self.dtype, name="attn"
+            self.num_heads,
+            ws,
+            pack=pack,
+            num_windows=num_windows,
+            use_kernel=use_kernel,
+            dtype=self.dtype,
+            name="attn",
         )(windows, mask)
         x = _window_reverse(attn_out, ws, hp, wp)
 
@@ -390,6 +441,7 @@ class Swin(nn.Module):
                     input_resolution=res,
                     layer_norm_eps=cfg.layer_norm_eps,
                     remat="none" if cfg.remat == "block" else cfg.remat,
+                    attn_kernel=cfg.attn_kernel,
                     dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
                 )(x)

@@ -13,10 +13,13 @@ are used unconditionally.
 
 from .gpf import fused_gpf_pallas, fused_gpf_available
 from .newton_schulz import newton_schulz_isqrt_pallas, newton_schulz_available
+from .window_attention import flash_window_attention, window_attention_available
 
 __all__ = [
     "fused_gpf_pallas",
     "fused_gpf_available",
     "newton_schulz_isqrt_pallas",
     "newton_schulz_available",
+    "flash_window_attention",
+    "window_attention_available",
 ]

@@ -165,3 +165,54 @@ if __name__ == "__main__":
             f"{tg_sub:7.3f} ms ({tg_dense / tg_sub:5.2f}x)  meandiff {diff:.2e}",
             flush=True,
         )
+
+    # flash window attention: fused kernel vs the XLA einsum/softmax chain
+    # (flagship Swin-Base stage shapes at dual-view batch 64)
+    from ego_moment_cle_vit_tpu.ops.pallas import flash_window_attention
+
+    def wa_xla(qkv, bias, mask, h):
+        b_, w_, t_, c3 = qkv.shape
+        c_ = c3 // 3
+        d_ = c_ // h
+        q, k, v = [
+            qkv[..., i * c_ : (i + 1) * c_]
+            .astype(jnp.float32)
+            .reshape(b_, w_, t_, h, d_)
+            for i in range(3)
+        ]
+        logits = jnp.einsum("bwthd,bwshd->bwhts", q * d_**-0.5, k)
+        logits = logits + bias[None, None] + mask[None, :, None]
+        p = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bwhts,bwshd->bwthd", p, v).reshape(b_, w_, t_, c_)
+        return out.astype(qkv.dtype)
+
+    for tag, b, w, t, c, h in (
+        ("stage0", 64, 32, 98, 128, 4),
+        ("stage2", 64, 2, 98, 512, 16),
+        ("stage3", 64, 1, 49, 1024, 32),
+    ):
+        qkv = jnp.asarray(
+            rng.standard_normal((b, w, t, 3 * c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        bias = jnp.asarray(rng.standard_normal((h, t, t)).astype(np.float32)) * 0.1
+        mask = jnp.zeros((1, t, t), jnp.float32)
+
+        f_x = jax.jit(lambda q: jnp.sum(wa_xla(q, bias, mask, h).astype(jnp.float32)))
+        f_p = jax.jit(
+            lambda q: jnp.sum(
+                flash_window_attention(q, bias, mask, h).astype(jnp.float32)
+            )
+        )
+        t_x = timeit_scalar(f_x, qkv)
+        t_p = timeit_scalar(f_p, qkv)
+        g_x = jax.jit(jax.grad(lambda q: f_x(q).astype(jnp.float32)))
+        g_p = jax.jit(jax.grad(lambda q: f_p(q).astype(jnp.float32)))
+        tg_x = timeit_scalar(lambda q: jnp.sum(g_x(q).astype(jnp.float32)), qkv)
+        tg_p = timeit_scalar(lambda q: jnp.sum(g_p(q).astype(jnp.float32)), qkv)
+        diff = float(jnp.abs(f_x(qkv) - f_p(qkv))) / (b * w * t * c)
+        print(
+            f"WINATTN {tag} B{b} W{w} T{t} C{c} H{h}: fwd xla {t_x:7.3f} ms  pallas "
+            f"{t_p:7.3f} ms ({t_x / t_p:4.2f}x) | f+b xla {tg_x:7.3f} ms  pallas "
+            f"{tg_p:7.3f} ms ({tg_x / tg_p:4.2f}x)  meandiff {diff:.2e}",
+            flush=True,
+        )

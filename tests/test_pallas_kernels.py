@@ -127,3 +127,87 @@ def test_availability_predicates():
     assert newton_schulz_available(1024, platform="tpu")
     # swin_large D=1536 still exceeds VMEM -> XLA fallback
     assert not newton_schulz_available(1536, platform="tpu")
+
+
+def _ref_window_attention(qkv, bias, mask, h):
+    """Plain-jnp reference for the fused kernel (same math as the XLA path
+    in models/swin.py:WindowAttention)."""
+    b, w, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // h
+    q, k, v = [
+        qkv[..., i * c : (i + 1) * c]
+        .astype(jnp.float32)
+        .reshape(b, w, t, h, d)
+        for i in range(3)
+    ]
+    logits = jnp.einsum("bwthd,bwshd->bwhts", q * d**-0.5, k)
+    logits = logits + bias[None, None] + mask[None, :, None]
+    p = jax.nn.softmax(logits, -1)
+    return jnp.einsum("bwhts,bwshd->bwthd", p, v).reshape(b, w, t, c)
+
+
+@pytest.mark.parametrize(
+    "b,w,t,c,h,masked",
+    [
+        (4, 8, 98, 128, 4, True),   # stage0-like, shifted
+        (2, 2, 98, 512, 16, True),  # stage2-like
+        (2, 1, 49, 1024, 32, False),  # stage3-like, no mask
+    ],
+)
+def test_flash_window_attention_matches_reference(b, w, t, c, h, masked):
+    from ego_moment_cle_vit_tpu.ops.pallas import flash_window_attention
+
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, w, t, 3 * c), jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t), jnp.float32) * 0.1
+    mask = (
+        jnp.where(
+            jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (w, t, t)),
+            -100.0,
+            0.0,
+        )
+        if masked
+        else jnp.zeros((1, t, t), jnp.float32)
+    )
+    got = flash_window_attention(qkv, bias, mask, h)
+    want = _ref_window_attention(qkv, bias, mask, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_flash_window_attention_gradients_match():
+    from ego_moment_cle_vit_tpu.ops.pallas import flash_window_attention
+
+    b, w, t, c, h = 2, 4, 98, 128, 4
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, w, t, 3 * c), jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t), jnp.float32) * 0.1
+    mask = jnp.where(
+        jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (w, t, t)), -100.0, 0.0
+    )
+
+    def loss(fn):
+        return lambda qkv, bias: jnp.sum(jnp.sin(fn(qkv, bias, mask, h)))
+
+    gk = jax.grad(loss(flash_window_attention), (0, 1))(qkv, bias)
+    gr = jax.grad(
+        loss(lambda q, b, m, hh: _ref_window_attention(q, b, m, hh)), (0, 1)
+    )(qkv, bias)
+    for a, bb in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
+
+
+def test_swin_attn_kernel_path_matches_xla_path():
+    """Full Swin forward+grad with the fused attention kernel vs without."""
+    from ego_moment_cle_vit_tpu.models.swin import Swin, SwinConfig
+
+    kw = dict(img_size=56, embed_dim=128, depths=(2,), num_heads=(4,))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3), jnp.float32)
+    m_off = Swin(SwinConfig(attn_kernel="off", **kw))
+    m_on = Swin(SwinConfig(attn_kernel="on", **kw))
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    y0 = m_off.apply(params, x)
+    y1 = m_on.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
+    g0 = jax.grad(lambda p: jnp.sum(jnp.sin(m_off.apply(p, x))))(params)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_on.apply(p, x))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
