@@ -18,8 +18,9 @@ bound, docs/spec.md:328) =~ 115 GFLOP/img; at 40% AMP utilization of
 measured CPU-side PIL augmentation bottleneck (8 workers, ~45 ms/sample
 chain) to ~180 img/s.  BASELINE.json's target is >=3x that per chip.
 
-Env knobs: BENCH_BATCH (default 32 — the measured-best batch on one v5e:
-16 -> 118.4, 32 -> 124.8, 64+block-remat -> 102.4 img/s/chip),
+Env knobs: BENCH_BATCH (default 32 — measured on one v5e with the flash
+window-attention kernel: 32 -> 186.0 img/s/chip, 1.03x the A100 estimate;
+pre-kernel history: 16 -> 118.4, 32 -> 124.8, 64+block-remat -> 102.4),
 BENCH_STEPS (default 20),
 BENCH_PRESET=small for a vit-small quick run, BENCH_MODE=infer to measure
 the specialized single-pass serving path instead of the train step.

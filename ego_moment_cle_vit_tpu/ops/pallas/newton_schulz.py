@@ -14,8 +14,9 @@ fp32 variant at D ~ 800.  For 800 < D <= 1024 (the Swin-Base flagship head)
 a second kernel stores Y/Z/T as bf16 with fp32 MXU accumulation — the
 iteration is contractive (zero derivative at the fixed point) so per-step
 rounding does not compound; trace normalization/rescale stay fp32 outside.
-``newton_schulz_available`` gates the dispatch; D=1536 (swin_large) still
-falls back to pure XLA.
+``newton_schulz_available`` gates the dispatch; D ~ 1536 (swin_large)
+uses a two-buffer variant that streams M from HBM in column tiles
+(``_ns_kernel_bf16_streamed``).
 
 Gradients: custom_vjp recomputing through the identical pure-XLA iteration.
 """
@@ -145,7 +146,74 @@ def _ns_kernel_bf16(
     copy_out.wait()
 
 
-def _forward_bf16(matrix, num_iterations, eps):
+def _ns_kernel_bf16_streamed(
+    m_hbm, out_hbm, y_scr, p_scr, m_tile, sem_m, sem_out, *, num_iterations
+):
+    """bf16 iteration for D ~ 1536 (swin_large): only TWO resident [D, D]
+    buffers.
+
+    The D=1024 kernel holds four D^2 bf16 buffers (M, Y, T1, T2) — 18.9 MB
+    at D=1536, over the ~16 MB VMEM.  This variant regroups the update
+
+        Y <- 1.5 Y - 0.5 * Y M Y^2   (all iterates commute: polynomials in M)
+
+    as P = (Y @ M), P <- P @ Y, Y <- 1.5 Y - 0.5 P @ Y, with:
+    * M streamed from HBM in column tiles once per iteration (P[:, j] =
+      Y @ M[:, j] touches only column block j of M) — 5 x D^2 bf16 reads
+      total instead of a resident buffer;
+    * P <- P @ Y updated in-place by ROW quarters (row r of the product
+      reads only row r of P);
+    * Y <- 1.5 Y - 0.5 P @ Y updated in-place by COLUMN tiles (column j of
+      both terms reads only column j of Y).
+
+    Budget at D=1536: Y + P (9.4 MB bf16) + one M column tile (1.2 MB) +
+    a [D, D/4] fp32 product temp (2.4 MB) ~ 13 MB.
+    """
+    i = pl.program_id(0)
+    dim = y_scr.shape[-1]
+    cw = m_tile.shape[-1]  # column-tile width
+    qr = dim // 4  # row quarter
+
+    y_scr[:] = jnp.eye(dim, dtype=jnp.bfloat16)
+
+    for _ in range(num_iterations):
+        # P = Y @ M, column-tiled with M streamed from HBM
+        for j in range(dim // cw):
+            cp = pltpu.make_async_copy(
+                m_hbm.at[i, :, pl.ds(j * cw, cw)], m_tile, sem_m
+            )
+            cp.start()
+            cp.wait()
+            prod = jax.lax.dot_general(
+                y_scr[:], m_tile[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p_scr[:, pl.ds(j * cw, cw)] = prod.astype(jnp.bfloat16)
+        # P <- P @ Y, in-place by row quarters
+        for r in range(4):
+            sl = pl.ds(r * qr, qr)
+            prod = jax.lax.dot_general(
+                p_scr[sl, :], y_scr[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p_scr[sl, :] = prod.astype(jnp.bfloat16)
+        # Y <- 1.5 Y - 0.5 P @ Y, in-place by column tiles
+        for j in range(dim // cw):
+            sl = pl.ds(j * cw, cw)
+            prod = jax.lax.dot_general(
+                p_scr[:], y_scr[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y_scr[:, sl] = (
+                1.5 * y_scr[:, sl].astype(jnp.float32) - 0.5 * prod
+            ).astype(jnp.bfloat16)
+
+    copy_out = pltpu.make_async_copy(y_scr, out_hbm.at[i], sem_out)
+    copy_out.start()
+    copy_out.wait()
+
+
+def _forward_bf16(matrix, num_iterations, eps, force_streamed=False):
     """fp32 [B, D, D] -> fp32-normalized result via the bf16-VMEM kernel.
 
     Trace normalization and the 1/sqrt(trace) rescale stay fp32 in XLA;
@@ -155,21 +223,32 @@ def _forward_bf16(matrix, num_iterations, eps):
     m32 = matrix.astype(jnp.float32)
     trace = jnp.trace(m32, axis1=-2, axis2=-1)[:, None, None] + eps
     mn = (m32 / trace).astype(jnp.bfloat16)
-    kernel = partial(_ns_kernel_bf16, num_iterations=num_iterations)
-    y = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((b, d, d), jnp.bfloat16),
-        scratch_shapes=[
+    if _bf16_resident_fits(d) and not force_streamed:
+        kernel = partial(_ns_kernel_bf16, num_iterations=num_iterations)
+        scratch = [
             pltpu.VMEM((d, d), jnp.bfloat16),  # M
             pltpu.VMEM((d, d), jnp.bfloat16),  # Y
             pltpu.VMEM((d, d), jnp.bfloat16),  # T1
             pltpu.VMEM((d, d), jnp.bfloat16),  # T2
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+    else:
+        kernel = partial(_ns_kernel_bf16_streamed, num_iterations=num_iterations)
+        scratch = [
+            pltpu.VMEM((d, d), jnp.bfloat16),  # Y
+            pltpu.VMEM((d, d), jnp.bfloat16),  # P
+            pltpu.VMEM((d, d // 4), jnp.bfloat16),  # streamed M column tile
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+    y = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, d, d), jnp.bfloat16),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=b * num_iterations * 3 * 2 * d**3,
             bytes_accessed=b * 2 * d * d * 2,
@@ -220,14 +299,23 @@ def _fp32_fits(d: int) -> bool:
     return (5 * d * d * 4) < 13 * 1024 * 1024  # d <= ~800; 768 passes
 
 
+def _bf16_resident_fits(d: int) -> bool:
+    # 4 resident bf16 buffers (M, Y, T1, T2) + halved fp32 product temp
+    return (7 * d * d * 2) < 15 * 1024 * 1024  # d <= ~1060; 1024 passes
+
+
+def _bf16_streamed_fits(d: int) -> bool:
+    # Y + P resident, M streamed in D/4 column tiles, [D, D/4] fp32 temp;
+    # the in-place tiling needs D % 512 == 0 (quarter tiles on a 128 grid)
+    if d % 512 != 0:
+        return False
+    return (2 * d * d * 2 + d * (d // 4) * (2 + 4)) < 14 * 1024 * 1024
+    # d <= ~1664; covers D=1536 (swin_large)
+
+
 def newton_schulz_available(d: int, platform: str | None = None) -> bool:
     if platform is None:
         platform = jax.default_backend()
     if platform not in ("tpu",):
         return False
-    if _fp32_fits(d):
-        return True
-    # bf16-storage variant: 3 scratch + double-buffered in/out blocks, bf16
-    # (D=1024 flagship: 10 MB + headroom).  D=1536 (swin_large) still
-    # exceeds VMEM (3 x 4.5 MB scratch + 9 MB I/O) -> XLA fallback.
-    return (7 * d * d * 2) < 15 * 1024 * 1024  # d <= ~1060; 1024 passes
+    return _fp32_fits(d) or _bf16_resident_fits(d) or _bf16_streamed_fits(d)

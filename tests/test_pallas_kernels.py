@@ -125,8 +125,10 @@ def test_availability_predicates():
     assert newton_schulz_available(768, platform="tpu")
     # flagship D=1024 now covered by the bf16-storage variant
     assert newton_schulz_available(1024, platform="tpu")
-    # swin_large D=1536 still exceeds VMEM -> XLA fallback
-    assert not newton_schulz_available(1536, platform="tpu")
+    # swin_large D=1536 covered by the streamed two-buffer variant
+    assert newton_schulz_available(1536, platform="tpu")
+    # far-larger D still falls back to XLA
+    assert not newton_schulz_available(4096, platform="tpu")
 
 
 def _ref_window_attention(qkv, bias, mask, h):
@@ -211,3 +213,18 @@ def test_swin_attn_kernel_path_matches_xla_path():
     g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_on.apply(p, x))))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_pallas_newton_schulz_streamed_variant_close_to_fp32():
+    """The two-buffer streamed-M kernel (swin_large D-range) matches the
+    fp32 XLA iteration to bf16 rounding accuracy at a reduced D."""
+    from ego_moment_cle_vit_tpu.ops.pallas.newton_schulz import _forward_bf16
+
+    rng = np.random.default_rng(17)
+    d = 512  # smallest D satisfying the streamed kernel's tiling grid
+    a = rng.standard_normal((B, d, 96)).astype(np.float32)
+    m = a @ a.transpose(0, 2, 1) / 96 + 0.5 * np.eye(d, dtype=np.float32)
+    got = np.asarray(_forward_bf16(jnp.asarray(m), 5, 1e-5, force_streamed=True))
+    want = np.asarray(newton_schulz_isqrt(jnp.asarray(m), 5, assume_symmetric=True))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-2, rel
