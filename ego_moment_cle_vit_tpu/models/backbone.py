@@ -70,6 +70,7 @@ class CLEViTBackbone(nn.Module):
                 img_size=self.img_size or cfg.img_size,
                 drop_rate=self.drop_rate,
                 remat=self.remat,
+                attn_kernel=self.attn_kernel,
             )
             self.net = ViT(cfg, dtype=self.dtype, name="vit")
             self.has_cls_token = True

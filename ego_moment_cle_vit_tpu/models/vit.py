@@ -42,6 +42,7 @@ class ViTConfig:
     drop_rate: float = 0.0
     layer_norm_eps: float = 1e-6
     remat: str = "attn"  # 'none' | 'attn' | 'block' (see swin.SwinConfig)
+    attn_kernel: str = "auto"  # fused Pallas attention ('auto' = TPU + shapes ok)
 
     @property
     def num_patches(self) -> int:
@@ -85,6 +86,7 @@ class PatchEmbed(nn.Module):
 
 class Attention(nn.Module):
     num_heads: int
+    use_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -92,6 +94,19 @@ class Attention(nn.Module):
         b, n, d = x.shape
         head_dim = d // self.num_heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        if self.use_kernel:
+            # same fused VMEM-resident kernel as Swin (W=1, zero bias/mask):
+            # the [B, H, N, N] logits never touch HBM, and its flash-style
+            # custom VJP replaces the attn remat policy
+            from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
+                flash_window_attention,
+            )
+
+            zeros = jnp.zeros((1, n, n), jnp.float32)
+            out = flash_window_attention(
+                qkv.reshape(b, 1, n, 3 * d), zeros, zeros, self.num_heads
+            ).reshape(b, n, d)
+            return nn.Dense(d, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
         scale = head_dim**-0.5
@@ -122,13 +137,19 @@ class TransformerBlock(nn.Module):
     mlp_ratio: float
     layer_norm_eps: float = 1e-6
     remat: str = "attn"
+    attn_kernel: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        if self.remat == "attn":
+        from .swin import _use_attn_kernel
+
+        use_kernel = _use_attn_kernel(
+            self.attn_kernel, x.shape[1], d, self.num_heads
+        )
+        if self.remat == "attn" and not use_kernel:
             # remat the [B, H, N, N] logits/probs only (see swin.py)
             Attn = nn.remat(
                 Attention,
@@ -138,7 +159,9 @@ class TransformerBlock(nn.Module):
             )
         else:
             Attn = Attention
-        x = x + Attn(self.num_heads, dtype=self.dtype, name="attn")(y)
+        x = x + Attn(
+            self.num_heads, use_kernel=use_kernel, dtype=self.dtype, name="attn"
+        )(y)
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
         return x
@@ -186,6 +209,7 @@ class ViT(nn.Module):
                 cfg.mlp_ratio,
                 cfg.layer_norm_eps,
                 remat="none" if cfg.remat == "block" else cfg.remat,
+                attn_kernel=cfg.attn_kernel,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

@@ -101,10 +101,11 @@ def _fwd_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, nheads, scale):
     # static per-head unroll: Mosaic matmuls take one batch dim, and lane
     # reshapes [.., H*d] -> [.., H, d] are unsupported — per-head static
     # lane slices instead
+    nb_heads_bias = bias_ref.shape[0]  # H, or 1 for a head-shared bias
     for h in range(nheads):
         q, k, v = _head_slices(x, c, d, h)
         logits = _bdot(q * scale, k, 2, 2)  # [NB, T, T] f32
-        logits = logits + bias_ref[h][None] + mask
+        logits = logits + bias_ref[h % nb_heads_bias][None] + mask
         probs = jax.nn.softmax(logits, axis=-1)
         outs.append(_bdot(probs, v, 2, 1).astype(out_ref.dtype))
     out_ref[:, 0] = jnp.concatenate(outs, axis=-1)
@@ -129,7 +130,7 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, dbias_ref, *,
     for h in range(nheads):
         q, k, v = _head_slices(x, c, d, h)
         qs = q * scale
-        logits = _bdot(qs, k, 2, 2) + bias_ref[h][None] + mask
+        logits = _bdot(qs, k, 2, 2) + bias_ref[h % bias_ref.shape[0]][None] + mask
         probs = jax.nn.softmax(logits, axis=-1)  # [NB, T, S] f32
         do = doh[:, :, h * d : (h + 1) * d].astype(jnp.float32)  # [NB, T, d]
 
@@ -137,7 +138,7 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, dbias_ref, *,
         dv = _bdot(probs, do, 1, 1)  # [NB, S, d]
         dp = _bdot(do, v, 2, 2)  # [NB, T, S]
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dbias_ref[h % dbias_ref.shape[0]] += jnp.sum(ds, axis=0)
 
         # dq[t] = scale * sum_s ds[t,s] k[s];  dk[s] = sum_t ds[t,s] qs[t]
         dq = scale * _bdot(ds, k, 2, 1)  # [NB, T, d]
@@ -173,8 +174,9 @@ def flash_window_attention(
     Args:
       qkv:  [B, W, T, 3C] — qkv projection output (window groups ``W``
             per image, ``T`` tokens per group).
-      bias: [H, T, T] fp32 — relative-position bias expanded to the packed
-            token grid (cross-window positions already sealed with -100).
+      bias: [H, T, T] (or head-shared [1, T, T]) fp32 — relative-position
+            bias expanded to the packed token grid (cross-window positions
+            already sealed with -100); pass zeros for bias-free attention.
       mask: [W, T, T] or [1, T, T] fp32 — additive shift/pad mask per
             window group (zeros when nothing needs masking).
       num_heads: attention heads H; C % H == 0, C % 128 == 0.
@@ -196,7 +198,7 @@ def _fwd(qkv, bias, mask, num_heads, interpret):
         grid=(b // nb, w),
         in_specs=[
             pl.BlockSpec((nb, 1, t, c3), lambda bb, wg: (bb, wg, 0, 0)),
-            pl.BlockSpec((num_heads, t, t), lambda bb, wg: (0, 0, 0)),
+            pl.BlockSpec((bias.shape[0], t, t), lambda bb, wg: (0, 0, 0)),
             _mask_spec(t, mask.shape[0]),
         ],
         out_specs=pl.BlockSpec((nb, 1, t, c), lambda bb, wg: (bb, wg, 0, 0)),
@@ -221,17 +223,17 @@ def _bwd(num_heads, interpret, res, dout):
         grid=(b // nb, w),
         in_specs=[
             pl.BlockSpec((nb, 1, t, c3), lambda bb, wg: (bb, wg, 0, 0)),
-            pl.BlockSpec((num_heads, t, t), lambda bb, wg: (0, 0, 0)),
+            pl.BlockSpec((bias.shape[0], t, t), lambda bb, wg: (0, 0, 0)),
             _mask_spec(t, mask.shape[0]),
             pl.BlockSpec((nb, 1, t, c), lambda bb, wg: (bb, wg, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((nb, 1, t, c3), lambda bb, wg: (bb, wg, 0, 0)),
-            pl.BlockSpec((num_heads, t, t), lambda bb, wg: (0, 0, 0)),
+            pl.BlockSpec((bias.shape[0], t, t), lambda bb, wg: (0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, w, t, c3), qkv.dtype),
-            jax.ShapeDtypeStruct((num_heads, t, t), jnp.float32),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

@@ -228,3 +228,23 @@ def test_pallas_newton_schulz_streamed_variant_close_to_fp32():
     want = np.asarray(newton_schulz_isqrt(jnp.asarray(m), 5, assume_symmetric=True))
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 2e-2, rel
+
+
+def test_vit_attn_kernel_path_matches_xla_path():
+    """ViT reuses the fused kernel with W=1 and zero bias/mask."""
+    from ego_moment_cle_vit_tpu.models.vit import ViT, ViTConfig
+
+    kw = dict(img_size=64, patch_size=16, embed_dim=128, depth=2, num_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32)
+    m_off = ViT(ViTConfig(attn_kernel="off", **kw))
+    m_on = ViT(ViTConfig(attn_kernel="on", **kw))
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(m_off.apply(params, x)),
+        np.asarray(m_on.apply(params, x)),
+        atol=2e-4,
+    )
+    g0 = jax.grad(lambda p: jnp.sum(jnp.sin(m_off.apply(p, x))))(params)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_on.apply(p, x))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
