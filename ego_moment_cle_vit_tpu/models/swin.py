@@ -39,13 +39,20 @@ Dtype = Any
 
 
 def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
-    """Resolve the attn_kernel config ('auto'|'on'|'off') for one block."""
+    """Resolve the attn_kernel config ('auto'|'on'|'off') for one block.
+
+    'auto' enables the kernel only on a single-device TPU process: GSPMD
+    does not auto-partition ``pallas_call``, so sharded multi-chip runs
+    should either keep the XLA path or wrap the step in ``shard_map`` and
+    force 'on' explicitly.
+    """
     if mode == "off":
         return False
     if mode == "on":
         return True
     return (
         jax.default_backend() == "tpu"
+        and len(jax.devices()) == 1
         and window_attention_available(t, c, num_heads)
     )
 
