@@ -18,10 +18,10 @@ bound, docs/spec.md:328) =~ 115 GFLOP/img; at 40% AMP utilization of
 measured CPU-side PIL augmentation bottleneck (8 workers, ~45 ms/sample
 chain) to ~180 img/s.  BASELINE.json's target is >=3x that per chip.
 
-Env knobs: BENCH_BATCH (default 32 — measured on one v5e with the flash
-window-attention kernel: 32 -> 186.0 img/s/chip, 1.03x the A100 estimate;
-pre-kernel history: 16 -> 118.4, 32 -> 124.8, 64+block-remat -> 102.4),
-BENCH_STEPS (default 20),
+Env knobs: BENCH_BATCH (default 64 — measured on one v5e with the flash
+window-attention kernel: 32 -> 186.0, 64 -> 192.2 img/s/chip, 1.07x the
+A100 estimate; pre-kernel history: 16 -> 118.4, 32 -> 124.8,
+64+block-remat -> 102.4), BENCH_STEPS (default 20),
 BENCH_PRESET=small for a vit-small quick run, BENCH_MODE=infer to measure
 the specialized single-pass serving path instead of the train step.
 (Note: on the axon tunnel the swin-base BENCH_MODE=infer FIRST compile can
@@ -113,7 +113,7 @@ def main() -> int:
     from ego_moment_cle_vit_tpu.train.state import create_train_state
 
     preset = os.environ.get("BENCH_PRESET", "full")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     if preset == "small":
@@ -126,9 +126,10 @@ def main() -> int:
             "backbone_name": backbone,
             "norm": "layer",
             "bf16": True,
-            # 'attn' suffices to B<=32; 'block' for larger batches
+            # the attention kernel holds no [*,T,T] residuals, so 'attn'
+            # (which it supersedes) is enough through B=64; 'block' beyond
             "backbone_remat": os.environ.get(
-                "BENCH_REMAT", "attn" if batch <= 32 else "block"
+                "BENCH_REMAT", "attn" if batch <= 64 else "block"
             ),
             "gpf": {"degree_p": 2, "degree_q": 2, "similarity": "dot"},
             "moment": {

@@ -130,6 +130,21 @@ def test_availability_predicates():
     # far-larger D still falls back to XLA
     assert not newton_schulz_available(4096, platform="tpu")
 
+    from ego_moment_cle_vit_tpu.ops.pallas import window_attention_available
+
+    # all four Swin-Base stage shapes qualify
+    assert window_attention_available(98, 128, 4)
+    assert window_attention_available(98, 256, 8)
+    assert window_attention_available(98, 512, 16)
+    assert window_attention_available(49, 1024, 32)
+    # ViT-small/base/large at 224 qualify; vit_tiny (C=192) does not
+    assert window_attention_available(197, 384, 6)
+    assert window_attention_available(197, 768, 12)
+    assert window_attention_available(197, 1024, 16)
+    assert not window_attention_available(197, 192, 3)
+    # 448-input ViT (T=785) exceeds the single-tile budget -> XLA fallback
+    assert not window_attention_available(785, 768, 12)
+
 
 def _ref_window_attention(qkv, bias, mask, h):
     """Plain-jnp reference for the fused kernel (same math as the XLA path
