@@ -22,7 +22,8 @@ Env knobs: BENCH_BATCH (default 64 — measured on one v5e with the flash
 window-attention kernel: 32 -> 186.0, 64 -> 192.2 img/s/chip, 1.07x the
 A100 estimate; pre-kernel history: 16 -> 118.4, 32 -> 124.8,
 64+block-remat -> 102.4), BENCH_STEPS (default 20),
-BENCH_PRESET=small for a vit-small quick run, BENCH_MODE=infer to measure
+BENCH_PRESET=small for a vit-small quick run, BENCH_PRESET=large for the
+reference's swin_large flagship config, BENCH_MODE=infer to measure
 the specialized single-pass serving path instead of the train step.
 (Note: on the axon tunnel the swin-base BENCH_MODE=infer FIRST compile can
 exceed the remote-compile service's connection timeout; use
@@ -118,6 +119,9 @@ def main() -> int:
 
     if preset == "small":
         backbone, d_out, sketch = "vit_small_patch16_224", 512, 2048
+    elif preset == "large":
+        # the reference's own flagship (ufg_base.yaml:7 swin_large, D=1536)
+        backbone, d_out, sketch = "swin_large_patch4_window7_224", 1024, 4096
     else:
         backbone, d_out, sketch = "swin_base_patch4_window7_224", 1024, 4096
 

@@ -128,21 +128,24 @@ def main() -> int:
     class MomentChain(nn.Module):
         @nn.compact
         def __call__(self, tokens):
+            # anchor/positive halves of the fused [2B] token batch
+            bb = tokens.shape[0] // 2
             g = GraphPolynomialFusion(degree_p=2, degree_q=2, similarity="dot")(
-                tokens
+                tokens[:bb], tokens[bb:]
             )
             return MomentHead(
+                d_in=tokens.shape[-1],
                 d_out=1024,
                 use_third_order=True,
                 isqrt_iterations=5,
                 sketch_dim=4096,
-            )(g)
+            )(tokens[:bb], g)
 
     chain = MomentChain()
     tokens = jnp.asarray(
         rng.standard_normal((2 * b, 49, 1024)), jnp.bfloat16
     )
-    cvars = chain.init(jax.random.PRNGKey(0), tokens[:2])
+    cvars = chain.init(jax.random.PRNGKey(0), tokens[:4])
 
     @jax.jit
     def moment_fwdbwd(v, t):
