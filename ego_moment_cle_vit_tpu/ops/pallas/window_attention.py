@@ -205,6 +205,11 @@ def _fwd(qkv, bias, mask, num_heads, interpret):
         out_shape=jax.ShapeDtypeStruct((b, w, t, c), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # Mosaic keeps the unrolled per-head temporaries live, so the
+            # true stack exceeds the conservative _vmem_estimate; raise the
+            # per-kernel cap well past the 16 MB scoped default (physical
+            # VMEM is far larger — same setting as jax's TPU flash kernels)
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interp,
     )(qkv, bias, mask)
@@ -237,6 +242,7 @@ def _bwd(num_heads, interpret, res, dout):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interp,
     )(qkv, bias, mask, dout)
