@@ -58,7 +58,7 @@ def _vmem_estimate(nb: int, t: int, c: int, h: int, backward: bool) -> int:
 
 
 def _pick_nb(b: int, t: int, c: int, h: int, backward: bool,
-             budget: int = 9 * 1024 * 1024) -> int:
+             budget: int = 40 * 1024 * 1024) -> int:
     for nb in (16, 8, 4, 2, 1):
         if b % nb == 0 and _vmem_estimate(nb, t, c, h, backward) <= budget:
             return nb
@@ -69,7 +69,7 @@ def window_attention_available(t: int, c: int, num_heads: int) -> bool:
     """The kernel needs lane-aligned head slices and a VMEM-sized tile."""
     if c % 128 != 0 or c % num_heads != 0:
         return False
-    return _vmem_estimate(1, t, c, num_heads, backward=True) <= 9 * 1024 * 1024
+    return _vmem_estimate(1, t, c, num_heads, backward=True) <= 40 * 1024 * 1024
 
 
 def _bdot(a, b, ca: int, cb: int):
