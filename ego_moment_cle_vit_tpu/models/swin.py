@@ -34,8 +34,33 @@ from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
     flash_window_attention,
     window_attention_available,
 )
+from ego_moment_cle_vit_tpu.ops.pallas.swin_block import (
+    fused_window_block,
+    fused_window_block_available,
+)
 
 Dtype = Any
+
+
+def _single_tpu() -> bool:
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+
+
+# set True once the fused half-block kernel's on-chip speed/stability is
+# validated; until then 'auto' uses the attention-only kernel and 'fused'
+# must be requested explicitly
+_FUSED_IN_AUTO = False
+
+
+def _use_fused_block(mode: str, hp: int, wp: int, ws: int, c: int,
+                     num_heads: int) -> bool:
+    """'fused' forces the full fused half-block kernel; 'auto' may use it on
+    a single-device TPU when shapes qualify (gated by _FUSED_IN_AUTO)."""
+    if mode == "fused":
+        return True
+    if mode != "auto" or not _FUSED_IN_AUTO:
+        return False
+    return _single_tpu() and fused_window_block_available(hp, wp, ws, c, num_heads)
 
 
 def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
@@ -51,10 +76,95 @@ def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
     if mode == "on":
         return True
     return (
-        jax.default_backend() == "tpu"
-        and len(jax.devices()) == 1
+        mode == "auto"
+        and _single_tpu()
         and window_attention_available(t, c, num_heads)
     )
+
+
+def _build_bias_bd(table: jnp.ndarray, ws: int, p: int, num_heads: int):
+    """[table, H] param -> [H, pN, pN] fp32 bias with pack cross-seal.
+
+    One-hot matmul instead of a gather (gathers are ~100x slower than
+    matmuls on this TPU and would be replayed in remat backwards).
+    """
+    n = ws * ws
+    onehot = jnp.asarray(
+        np.eye((2 * ws - 1) ** 2, dtype=np.float32)[
+            _relative_position_index(ws).reshape(-1)
+        ]
+    )
+    bias = (onehot @ table.astype(jnp.float32)).reshape(n, n, num_heads)
+    bias = bias.transpose(2, 0, 1)  # [H, N, N]
+    if p > 1:
+        eye = jnp.eye(p, dtype=jnp.float32)
+        bias = jnp.einsum("pq,hnm->hpnqm", eye, bias).reshape(
+            num_heads, p * n, p * n
+        )
+        cross = -100.0 * (
+            1.0 - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)
+        )
+        bias = bias + cross[None]
+    return bias
+
+
+def _blockdiag_mask(mask: jnp.ndarray, p: int):
+    """[nW, N, N] -> [nW/p, pN, pN] block-diagonal pack expansion."""
+    if p == 1:
+        return mask
+    nw, n, _ = mask.shape
+    m = mask.reshape(nw // p, p, n, n)
+    eye = jnp.eye(p, dtype=jnp.float32)
+    return jnp.einsum("gpnm,pq->gpnqm", m, eye).reshape(
+        nw // p, p * n, p * n
+    )
+
+
+class _DenseParams(nn.Module):
+    """Raw nn.Dense-compatible parameters (kernel + bias) without the op —
+    the fused kernel consumes them directly; tree paths match nn.Dense."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm-compatible scale/bias parameters."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """WindowAttention-compatible parameter set for the fused block kernel."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+        )
+        return wqkv, bqkv, wproj, bproj, table
 
 # profiling ablation hooks (scripts/profile_swin.py); both off in production
 _PROFILE_NOSHIFT = False
@@ -210,48 +320,13 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * ws - 1) ** 2, self.num_heads),
         )
-        # one-hot matmul instead of a gather: generic gathers run ~100x
-        # slower than matmuls on this TPU (and the gather would be replayed
-        # in every remat backward)
-        onehot = jnp.asarray(
-            np.eye((2 * ws - 1) ** 2, dtype=np.float32)[
-                _relative_position_index(ws).reshape(-1)
-            ]
-        )  # [N*N, table] trace-time constant
-        bias = (onehot @ bias_table.astype(jnp.float32)).reshape(
-            n, n, self.num_heads
-        )
-        bias = bias.transpose(2, 0, 1)  # [H, N, N]
-
         # Pre-combine bias + pack cross-mask (and, on the XLA path, the
         # shift/pad mask) into ONE additive tensor so the big [*, pN, pN]
         # logits see a single fused add before softmax (each separate add
         # is a full HBM sweep of the logits — measured as the dominant
         # Swin cost on v5e).
-        if p > 1:
-            # bias on the diagonal blocks, -100 sealing the cross blocks
-            eye = jnp.eye(p, dtype=jnp.float32)
-            bias = jnp.einsum("pq,hnm->hpnqm", eye, bias).reshape(
-                self.num_heads, p * n, p * n
-            )
-            cross = -100.0 * (
-                1.0
-                - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)
-            )
-            bias = bias + cross[None]
-
-        m = None
-        if mask is not None:
-            nw = mask.shape[0]
-            if p > 1:
-                # [nW, N, N] -> block-diagonal [nW/p, p*N, p*N]
-                mm = mask.reshape(nw // p, p, n, n)
-                eye = jnp.eye(p, dtype=jnp.float32)
-                m = jnp.einsum("gpnm,pq->gpnqm", mm, eye).reshape(
-                    nw // p, p * n, p * n
-                )
-            else:
-                m = mask
+        bias = _build_bias_bd(bias_table, ws, p, self.num_heads)
+        m = _blockdiag_mask(mask, p) if mask is not None else None
 
         if self.use_kernel:
             # Fused Pallas path: qkv in its natural [B, W, pN, 3C] layout
@@ -324,56 +399,97 @@ class SwinBlock(nn.Module):
         hp = -(-h // ws) * ws
         wp = -(-w // ws) * ws
 
-        shortcut = x
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        x = x.reshape(b, h, w, c)
-        if hp != h or wp != w:
-            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-        if shift > 0:
-            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-
         mask_np = _attn_mask(h, w, hp, wp, ws, shift)
         mask = jnp.asarray(mask_np) if mask_np is not None else None
-
-        windows = _window_partition(x, ws)  # [B*nW, ws*ws, C]
         num_windows = (hp // ws) * (wp // ws)
         pack = 2 if num_windows % 2 == 0 else 1
         if _PROFILE_PACK1:
             pack = 1
-        use_kernel = _use_attn_kernel(
-            self.attn_kernel, pack * ws * ws, c, self.num_heads
+        nw_row = wp // ws
+        # the fused kernel packs along W within a window row; require the
+        # raster pairing to coincide (nw even), else pack=1 there
+        fused_pack = pack if nw_row % pack == 0 else 1
+        # (packing is math-neutral, so fused_pack may differ from the XLA
+        # path's raster pack without changing results)
+        use_fused = _use_fused_block(
+            self.attn_kernel, hp, wp, ws, c, self.num_heads
         )
-        # flash-attention-style remat: everything in the attention module is
-        # saveable EXCEPT the named [*, pN, pN] logits/probs, which backward
-        # recomputes — trades one extra QK einsum + softmax per block for
-        # O(N^2)-per-window training memory.  The Pallas kernel supersedes
-        # this: its backward recomputes logits in VMEM by construction.
-        if self.remat == "attn" and not use_kernel:
-            Attn = nn.remat(
-                WindowAttention,
-                policy=jax.checkpoint_policies.save_anything_except_these_names(
-                    "attn_logits", "attn_probs"
-                ),
+
+        if use_fused:
+            # One VMEM pass: LN1 + qkv + window attention + proj + residual
+            # (ops/pallas/swin_block.py).  Roll/pad stay outside: rolls
+            # commute with the residual add, pad rows are sliced off.
+            t = fused_pack * ws * ws
+            lns, lnb = _LNParams(c, name="norm1")()
+            wqkv, bqkv, wproj, bproj, table = _AttnParams(
+                c, self.num_heads, ws, name="attn"
+            )()
+            bias_bd = _build_bias_bd(table, ws, fused_pack, self.num_heads)
+            madd = (
+                _blockdiag_mask(mask, fused_pack)
+                if mask is not None
+                else jnp.zeros((1, t, t), jnp.float32)
             )
+            xm = x.reshape(b, h, w, c)
+            if hp != h or wp != w:
+                xm = jnp.pad(xm, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            if shift > 0:
+                xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+            om = fused_window_block(
+                xm, lns, lnb, wqkv, bqkv, bias_bd, madd, wproj, bproj,
+                self.num_heads, ws, fused_pack, self.layer_norm_eps,
+            )
+            if shift > 0:
+                om = jnp.roll(om, shift=(shift, shift), axis=(1, 2))
+            if hp != h or wp != w:
+                om = om[:, :h, :w]
+            x = om.reshape(b, n, c)
         else:
-            Attn = WindowAttention
-        attn_out = Attn(
-            self.num_heads,
-            ws,
-            pack=pack,
-            num_windows=num_windows,
-            use_kernel=use_kernel,
-            dtype=self.dtype,
-            name="attn",
-        )(windows, mask)
-        x = _window_reverse(attn_out, ws, hp, wp)
+            shortcut = x
+            x = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1"
+            )(x)
+            x = x.reshape(b, h, w, c)
+            if hp != h or wp != w:
+                x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            if shift > 0:
+                x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
 
-        if shift > 0:
-            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
-        if hp != h or wp != w:
-            x = x[:, :h, :w]
+            windows = _window_partition(x, ws)  # [B*nW, ws*ws, C]
+            use_kernel = _use_attn_kernel(
+                self.attn_kernel, pack * ws * ws, c, self.num_heads
+            )
+            # flash-attention-style remat: everything in the attention module
+            # is saveable EXCEPT the named [*, pN, pN] logits/probs, which
+            # backward recomputes — trades one extra QK einsum + softmax per
+            # block for O(N^2)-per-window training memory.  The Pallas kernel
+            # supersedes this: its backward recomputes logits in VMEM.
+            if self.remat == "attn" and not use_kernel:
+                Attn = nn.remat(
+                    WindowAttention,
+                    policy=jax.checkpoint_policies.save_anything_except_these_names(
+                        "attn_logits", "attn_probs"
+                    ),
+                )
+            else:
+                Attn = WindowAttention
+            attn_out = Attn(
+                self.num_heads,
+                ws,
+                pack=pack,
+                num_windows=num_windows,
+                use_kernel=use_kernel,
+                dtype=self.dtype,
+                name="attn",
+            )(windows, mask)
+            x = _window_reverse(attn_out, ws, hp, wp)
 
-        x = shortcut + x.reshape(b, n, c)
+            if shift > 0:
+                x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+            if hp != h or wp != w:
+                x = x[:, :h, :w]
+
+            x = shortcut + x.reshape(b, n, c)
 
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)

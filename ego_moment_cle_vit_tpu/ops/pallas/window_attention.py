@@ -45,16 +45,23 @@ __all__ = [
 def _vmem_estimate(nb: int, t: int, c: int, h: int, backward: bool) -> int:
     """Rough VMEM bytes for one grid cell (double-buffered inputs).
 
-    The per-head [NB, T, d] pieces pad their 32-lane minor dim to the full
-    128-lane tile, and the [NB, T, T] logit temps pad T likewise.
+    Mosaic keeps the unrolled per-head temporaries live across the whole
+    head loop (measured: the stage3 backward at dual-view 128 allocated
+    ~16 MB where a reuse-aware model predicts ~5 MB), so every per-head
+    buffer is charged x H.  The [*, T, d] pieces pad their 32-lane minor
+    dim to the full 128-lane tile; [*, T, T] temps pad T likewise.
     """
     tp = max(t, 128)
     qkv = nb * t * 3 * c * 2 * 2          # bf16 block, double-buffered
-    logits = (5 if backward else 3) * nb * t * tp * 4  # f32 logit-sized temps
-    pieces = (3 * h if backward else h) * nb * t * 128 * 2  # output pieces
+    # per-head f32 temps: logits+probs fwd (dp/ds too in backward), plus
+    # the f32 q/k/v slices and the padded output pieces
+    per_head = (
+        (4 if backward else 2) * nb * t * tp * 4
+        + (3 if backward else 1) * nb * t * 128 * (4 + 2)
+    )
     out = nb * t * c * 2 * 2
     bias = h * t * t * 4 + t * t * 4
-    return qkv + logits + pieces + out + bias
+    return qkv + h * per_head + out + bias
 
 
 def _pick_nb(b: int, t: int, c: int, h: int, backward: bool,
