@@ -18,6 +18,14 @@ the saved inputs and accumulates ALL parameter gradients (dWqkv, dbqkv,
 dWproj, dbproj, dLN-scale, dLN-bias, d-relative-bias) into constant-index
 output blocks that stay VMEM-resident across the whole grid.
 
+STATUS — experimental opt-in (``attn_kernel='fused'``), correct but not
+the default: the backward is a very large Mosaic program (forward
+recompute + unrolled head loop + 8 outputs) whose remote compiles ran
+20+ minutes per stage variant on the axon tunnel (one attempt OOM-killed
+the compile helper).  Until compile cost comes down (smaller unroll or a
+split fwd-recompute/bwd-matmul pair), the attention-only kernel
+(window_attention.py) remains the production path.
+
 Reference being beaten: the torch/timm SwinTransformerBlock as wrapped at
 /root/reference/src/models/cle_vit_backbone.py:198-204 (every stage of it
 round-trips HBM).
