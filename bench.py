@@ -243,5 +243,23 @@ def main() -> int:
     return 0
 
 
+def _main_with_retry() -> int:
+    """The axon TPU worker intermittently crashes mid-run (UNAVAILABLE,
+    'kernel fault'); the jax client cannot recover in-process.  Re-exec
+    once in a fresh process after a cooldown so a transient fault doesn't
+    zero out the benchmark."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001 — deliberate catch-all boundary
+        if os.environ.get("BENCH_RETRIED") == "1":
+            raise
+        print(f"# bench attempt failed ({type(e).__name__}: {e}); "
+              "retrying once in a fresh process after 300s", file=sys.stderr)
+        time.sleep(300)
+        env = dict(os.environ, BENCH_RETRIED="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        return 1  # unreachable
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
