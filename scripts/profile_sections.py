@@ -60,7 +60,12 @@ def main() -> int:
                 "bf16": True,
                 "gpf": {"degree_p": 2, "degree_q": 2, "similarity": "dot"},
                 "moment": {
-                    "d_out": 1024 if moment_on else 8,
+                    # NOTE: the stand-in must not be degenerate — a d_out=8
+                    # variant (vech projection [525K, 8]) reproducibly
+                    # faulted the TPU worker (3/3 runs, fresh compile
+                    # included) while every d_out>=128 program runs clean;
+                    # an XLA/libtpu edge case, not a framework kernel.
+                    "d_out": 1024 if moment_on else 128,
                     "use_third_order": third_on,
                     "isqrt_iterations": 5 if moment_on else 1,
                     "sketch_dim": 4096,
