@@ -57,6 +57,14 @@ def _use_fused_block(mode: str, hp: int, wp: int, ws: int, c: int,
     """'fused' forces the full fused half-block kernel; 'auto' may use it on
     a single-device TPU when shapes qualify (gated by _FUSED_IN_AUTO)."""
     if mode == "fused":
+        if not fused_window_block_available(hp, wp, ws, c, num_heads):
+            raise ValueError(
+                "attn_kernel='fused' requested but the fused kernel does not "
+                f"support this block (hp={hp}, wp={wp}, ws={ws}, C={c}, "
+                f"heads={num_heads}): C must be a multiple of 128 and of "
+                "num_heads, the map a whole number of windows, and the tile "
+                "must fit VMEM"
+            )
         return True
     if mode != "auto" or not _FUSED_IN_AUTO:
         return False
@@ -264,6 +272,13 @@ def _attn_mask(
         return None
     ids = np.zeros((hp, wp), dtype=np.float32)
     if shift > 0:
+        # Region labels are defined directly in the SHIFTED frame — the
+        # canonical Swin/timm construction applies these slices to the
+        # already-rolled map and never rolls the ids themselves.  (An
+        # earlier version labeled the original frame and then rolled,
+        # which displaced the region boundaries and over-masked up to
+        # ~37% of valid pairs at 14x14 — caught by review, fixed with a
+        # numeric check against the canonical construction.)
         cnt = 1
         for hs in (slice(0, hp - ws), slice(hp - ws, hp - shift), slice(hp - shift, hp)):
             for wsl in (
@@ -273,10 +288,13 @@ def _attn_mask(
             ):
                 ids[hs, wsl] = cnt
                 cnt += 1
-    ids[h:, :] = -1.0  # pad sentinel (assigned after regions, survives roll)
-    ids[:, w:] = -1.0
+    # pad positions live in the ORIGINAL frame and travel with the roll
+    pad = np.zeros((hp, wp), dtype=bool)
+    pad[h:, :] = True
+    pad[:, w:] = True
     if shift > 0:
-        ids = np.roll(ids, (-shift, -shift), axis=(0, 1))
+        pad = np.roll(pad, (-shift, -shift), axis=(0, 1))
+    ids[pad] = -1.0
     idw = (
         ids.reshape(hp // ws, ws, wp // ws, ws)
         .transpose(0, 2, 1, 3)

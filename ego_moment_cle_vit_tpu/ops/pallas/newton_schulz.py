@@ -262,7 +262,13 @@ def _dispatch(matrix, num_iterations, eps):
     d = matrix.shape[-1]
     if _fp32_fits(d):
         return _forward(matrix, num_iterations, eps)
-    return _forward_bf16(matrix, num_iterations, eps)
+    if _bf16_resident_fits(d) or _bf16_streamed_fits(d):
+        return _forward_bf16(matrix, num_iterations, eps)
+    # mirror newton_schulz_available: sizes no kernel variant supports get
+    # the pure-XLA iteration instead of an opaque Mosaic failure
+    return newton_schulz_isqrt(
+        matrix, num_iterations=num_iterations, eps=eps, assume_symmetric=True
+    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))

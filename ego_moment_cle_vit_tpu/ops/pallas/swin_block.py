@@ -115,7 +115,6 @@ def _attention(qkv, bias_ref, mask, nheads, scale, g, t, c, out_dtype):
     d = c // nheads
     nbh = bias_ref.shape[0]
     outs = []
-    probs_all = []
     for h in range(nheads):
         q = qkv[:, :, h * d:(h + 1) * d]
         k = qkv[:, :, c + h * d: c + (h + 1) * d]
@@ -126,14 +125,13 @@ def _attention(qkv, bias_ref, mask, nheads, scale, g, t, c, out_dtype):
         )
         logits = logits + bias_ref[h % nbh][None] + mask
         probs = jax.nn.softmax(logits, axis=-1)
-        probs_all.append(probs)
         outs.append(
             jax.lax.dot_general(
                 probs, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(out_dtype)
         )
-    return jnp.concatenate(outs, axis=-1), probs_all
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
@@ -159,8 +157,8 @@ def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     # mask_ref: [nwg, T, T] (this window-row's groups); broadcast over NB
     mask = mask_ref[...][None]  # [1, nwg, T, T]
     mask = jnp.broadcast_to(mask, (nb, nwg, t, t)).reshape(g, t, t)
-    attn, _ = _attention(qkv, bias_ref, mask, nheads, scale, g, t, c,
-                         jnp.float32)
+    attn = _attention(qkv, bias_ref, mask, nheads, scale, g, t, c,
+                      jnp.float32)
     attn = _from_windows(attn, nb, ws, wp, p, c)  # [NB, ws, WP, C] f32
 
     proj = jax.lax.dot_general(
@@ -225,7 +223,6 @@ def _bwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         dattn_w.reshape(nb, ws, wp, c), nb, ws, wp, p, c
     )  # [G, T, C]
 
-    dqkv = jnp.zeros((g, t, 3 * c), jnp.float32)
     attn_pieces = []
     dqkv_pieces_q, dqkv_pieces_k, dqkv_pieces_v = [], [], []
     for h in range(nheads):

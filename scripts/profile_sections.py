@@ -9,6 +9,12 @@ identity graph).  The difference is the section's marginal cost including
 its backward pass.
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/profile_sections.py [--device cpu]
+
+Each ablation variant runs in its OWN subprocess: sequentially rebuilding
+and running several distinct donated train-step programs inside one jax
+client reproducibly destabilized the axon TPU worker (4/4 attempts ended
+in worker crashes / INTERNAL backend errors), while one-program-per-
+process runs never failed.
 """
 
 from __future__ import annotations
@@ -36,7 +42,15 @@ def main() -> int:
     parser.add_argument("--backbone", default="swin_tiny_patch4_window7_224")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument(
+        "--variant", default=None, choices=["full", "tiny", "nothird"],
+        help="run ONE variant and print its step time (internal; the "
+        "default orchestrates all three in separate subprocesses)",
+    )
     args = parser.parse_args()
+
+    if args.variant is None:
+        return _orchestrate(args)
 
     import jax
 
@@ -113,19 +127,43 @@ def main() -> int:
     labels = jnp.asarray(rng.integers(0, 80, (args.batch,)), jnp.int32)
     key = jax.random.PRNGKey(0)
 
-    print(f"backend={jax.default_backend()} backbone={args.backbone} batch={args.batch}")
-    step_full, st = build(moment_on=True, third_on=True)
-    t_full = bench_step(step_full, st, (images, labels, key), args.iters)
-    step_small, st = build(moment_on=False, third_on=False)
-    t_small = bench_step(step_small, st, (images, labels, key), args.iters)
-    step_no3, st = build(moment_on=True, third_on=False)
-    t_no3 = bench_step(step_no3, st, (images, labels, key), args.iters)
+    variant = {
+        "full": dict(moment_on=True, third_on=True),
+        "tiny": dict(moment_on=False, third_on=False),
+        "nothird": dict(moment_on=True, third_on=False),
+    }[args.variant]
+    step_fn, st = build(**variant)
+    t = bench_step(step_fn, st, (images, labels, key), args.iters)
+    print(f"VARIANT {args.variant}: {t:.2f} ms", flush=True)
+    return 0
 
+
+def _orchestrate(args) -> int:
+    import re
+    import subprocess
+    import sys as _sys
+
+    times = {}
+    for variant in ("full", "tiny", "nothird"):
+        cmd = [_sys.executable, __file__, "--variant", variant,
+               "--backbone", args.backbone, "--batch", str(args.batch),
+               "--iters", str(args.iters)]
+        if args.device:
+            cmd += ["--device", args.device]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600
+        )
+        m = re.search(rf"VARIANT {variant}: ([0-9.]+) ms", out.stdout)
+        if not m:
+            print(out.stdout[-2000:])
+            print(out.stderr[-2000:])
+            raise RuntimeError(f"variant {variant} failed")
+        times[variant] = float(m.group(1))
+        print(f"{variant:8s} step: {times[variant]:8.2f} ms", flush=True)
+
+    t_full, t_small, t_no3 = times["full"], times["tiny"], times["nothird"]
     moment_ms = t_full - t_small
     third_ms = t_full - t_no3
-    print(f"full step:            {t_full:8.2f} ms")
-    print(f"tiny-moment step:     {t_small:8.2f} ms")
-    print(f"no-third-order step:  {t_no3:8.2f} ms")
     print(
         f"=> moment branch ~ {moment_ms:.2f} ms = "
         f"{100 * moment_ms / t_full:.1f}% of step (target <10%)"

@@ -105,13 +105,15 @@ def window_attn(x, sd, prefix, heads, mask=None):
 
 
 def shift_mask(h, w, ws, shift):
+    # canonical Swin/timm: region slices are defined in the SHIFTED frame,
+    # the ids are NOT rolled (verified against the official construction
+    # in /tmp probe; an earlier golden replicated the rolled-ids bug)
     ids = torch.zeros(h, w)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
         for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
             ids[hs, wsl] = cnt
             cnt += 1
-    ids = torch.roll(ids, (-shift, -shift), dims=(0, 1))
     idw = ids.view(h // ws, ws, w // ws, ws).permute(0, 2, 1, 3).reshape(-1, ws * ws)
     diff = idw[:, None, :] - idw[:, :, None]
     return torch.where(diff != 0, torch.tensor(-100.0), torch.tensor(0.0))
