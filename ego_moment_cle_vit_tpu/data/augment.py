@@ -295,7 +295,13 @@ def grid_shuffle(img: jnp.ndarray, key: jax.Array, grid_size: int) -> jnp.ndarra
     perm = jax.random.permutation(key, s * s)
     shuffled = tiles[perm]
     out = shuffled.reshape(s, s, gh, gw, c).transpose(0, 2, 1, 3, 4)
-    return out.reshape(h, w, c)
+    out = out.reshape(s * gh, s * gw, c)
+    if s * gh == h and s * gw == w:
+        return out
+    # non-divisible sizes: the remainder strip stays un-shuffled, exactly
+    # like the reference's integer-division tile loop (cle_vit_backbone.py
+    # :73-95 never touches pixels beyond s * (dim // s))
+    return img.at[: s * gh, : s * gw].set(out)
 
 
 # ---------------------------------------------------------------------------

@@ -231,6 +231,12 @@ def paired_vech_permutation(dim: int):
     — used to permute reference-checkpoint projection kernels."""
     import numpy as _np
 
+    if dim % 2 != 0:
+        # half_vectorize_paired falls back to plain row-major vech for odd
+        # dims, so the conversion permutation is the identity (returning an
+        # un-filled buffer here previously scrambled odd-dim conversions)
+        return _np.arange(dim * (dim + 1) // 2, dtype=_np.int64)
+
     # row-major vech index of (i, j), i <= j
     def k_ref(i, j):
         return i * dim - i * (i - 1) // 2 + (j - i)

@@ -49,8 +49,14 @@ def create_learning_rate_schedule(
     min_lr = float(sched.get("min_lr", 1e-6))
     name = sched.get("name", "cosine")
 
-    warmup_steps = warmup_epochs * steps_per_epoch
-    total_steps = max(epochs * steps_per_epoch, warmup_steps + 1)
+    # With gradient accumulation the inner optimizer (under
+    # optax.MultiSteps) advances its count once per UPDATE, i.e. once per
+    # ``accumulation_steps`` micro-batches — build the schedule on the
+    # update clock or warmup/decay horizons stretch by that factor.
+    accum = max(int(tcfg.get("accumulation_steps", 1)), 1)
+    updates_per_epoch = max(-(-steps_per_epoch // accum), 1)
+    warmup_steps = warmup_epochs * updates_per_epoch
+    total_steps = max(epochs * updates_per_epoch, warmup_steps + 1)
 
     if name == "cosine":
         return optax.warmup_cosine_decay_schedule(
@@ -104,6 +110,12 @@ def create_optimizer(
         # bf16 momentum -> DECOUPLED weight decay -> lr scale.  (Stock
         # optax.adafactor applies weight_decay_rate AFTER the lr scaling,
         # i.e. an lr-independent 5%/step shrink — not AdamW semantics.)
+        # NOTE on decay semantics: scale_by_factored_rms's ``decay_rate`` is
+        # the EXPONENT of adafactor's time-dependent schedule
+        # 1 - t**(-decay_rate), NOT a constant beta2 — the factored leaf's
+        # second moment adapts faster early in training than dense AdamW's
+        # 0.999 (intended: adafactor statistics; recorded in
+        # docs/DIVERGENCES.md).
         factored = optax.chain(
             optax.scale_by_factored_rms(
                 factored=True,

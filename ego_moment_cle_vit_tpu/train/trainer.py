@@ -244,6 +244,12 @@ class Trainer:
         self.lr_schedule = create_learning_rate_schedule(
             self.config, steps_per_epoch
         )
+        # the schedule runs on the optimizer-update clock; state.step counts
+        # micro-batches (flax increments per apply_gradients call)
+        self._lr_accum = max(
+            int(self.config.get("training", {}).get("accumulation_steps", 1)),
+            1,
+        )
         # place parameters on the mesh (replicated / model-sharded per rules)
         self.state = self.state.replace(
             params=shard_params(self.state.params, self.mesh),
@@ -375,7 +381,9 @@ class Trainer:
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             if (i + 1) % log_freq == 0:
-                lr = float(self.lr_schedule(int(self.state.step)))
+                lr = float(
+                    self.lr_schedule(int(self.state.step) // self._lr_accum)
+                )
                 self.logger.info(
                     "epoch %d step %d loss=%.4f acc=%.4f lr=%.2e",
                     epoch,
@@ -421,7 +429,9 @@ class Trainer:
 
         for epoch in range(self.start_epoch, epochs):
             train_metrics = self.train_epoch(epoch)
-            epoch_lr = float(self.lr_schedule(int(self.state.step)))
+            epoch_lr = float(
+                self.lr_schedule(int(self.state.step) // self._lr_accum)
+            )
             self.history["train_loss"].append(train_metrics["loss"])
             self.history["train_acc"].append(train_metrics["accuracy"])
             self.history["lr"].append(epoch_lr)
