@@ -108,9 +108,13 @@ class BatchLoader:
             stop = object()
 
             def producer():
+                # exceptions must surface in the consumer — a silently dead
+                # producer would truncate the epoch with no error
                 try:
                     for idxs in batches:
                         q.put(self._load_batch(idxs, pool))
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    q.put(e)
                 finally:
                     q.put(stop)
 
@@ -120,6 +124,9 @@ class BatchLoader:
                 item = q.get()
                 if item is stop:
                     break
+                if isinstance(item, BaseException):
+                    t.join()
+                    raise item
                 yield item
             t.join()
 

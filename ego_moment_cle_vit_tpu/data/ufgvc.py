@@ -169,7 +169,11 @@ class UFGVCDataset:
         img = self.decode_image(idx)
         if self.resize_size is not None:
             img = img.resize((self.resize_size, self.resize_size))
-        label = int(self._labels[idx])
+        # index via class_to_idx, NOT the raw parquet label: the head is
+        # sized from len(self.classes) (split-local sorted names), and raw
+        # ids that disagree with that order would silently one_hot to
+        # all-zero targets / misattribute per-class metrics
+        label = self.class_to_idx[self._class_names[idx]]
         if self.transform is not None:
             out = self.transform(img)
         else:
@@ -260,7 +264,11 @@ class SyntheticUFGDataset:
         self.classes = [f"class_{i:03d}" for i in range(num_classes)]
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
         self._labels = np.repeat(np.arange(num_classes), samples_per_class)
-        self._seed = seed + (hash(split) % 1000)
+        import zlib
+
+        # stable across processes (hash() is PYTHONHASHSEED-randomized,
+        # which would break the documented determinism)
+        self._seed = seed + (zlib.crc32(split.encode()) % 1000)
 
     def __len__(self) -> int:
         return len(self._labels)

@@ -151,31 +151,53 @@ def multiview_triplet_loss(
         anchor = _l2_normalize(anchor)
         positive = _l2_normalize(positive)
 
-    b = anchor.shape[0]
+    b, k = anchor.shape[0], positive.shape[1]
     sq = jnp.sum(jnp.square(anchor), axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * anchor @ anchor.T
-    dist = jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
+    dist_aa = jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)  # [B, B]
+    # anchor -> positive-view distances, [B, B, K]
+    dist_ap = jnp.sqrt(
+        jnp.sum(jnp.square(anchor[:, None, None, :] - positive[None]), axis=-1)
+        + 1e-12
+    )
+    # mining runs over the 2B concatenated [anchor; positive-view-k] set,
+    # exactly like the reference's cat([anchor, pos_view]) dist matrix
+    # (triplet_loss.py:276-280): a different-class POSITIVE VIEW can be
+    # the mined negative
+    dist2 = jnp.concatenate(
+        [jnp.broadcast_to(dist_aa[:, :, None], (b, b, k)), dist_ap], axis=1
+    )  # [B, 2B, K]
 
-    neg_mask = labels[:, None] != labels[None, :]
+    neg_mask = labels[:, None] != labels[None, :]  # [B, B]
+    neg_mask2 = jnp.concatenate([neg_mask, neg_mask], axis=1)  # [B, 2B]
     has_neg = jnp.sum(neg_mask, axis=1) > 0
 
     if negative_sampling == "random":
         if key is None:
             raise ValueError("negative_sampling='random' requires a PRNG key")
-        gumbel = jax.random.gumbel(key, (b, b))
-        scores = jnp.where(neg_mask, gumbel, -_BIG)
-        idx = jnp.argmax(scores, axis=1)
-        neg_d = dist[jnp.arange(b), idx]
+        gumbel = jax.random.gumbel(key, (b, 2 * b, k))
+        scores = jnp.where(neg_mask2[:, :, None], gumbel, -_BIG)
+        idx = jnp.argmax(scores, axis=1)  # [B, K]
+        neg_d = jnp.take_along_axis(dist2, idx[:, None, :], axis=1)[:, 0]
     elif negative_sampling == "hard":
-        neg_d = jnp.min(jnp.where(neg_mask, dist, _BIG), axis=1)
+        neg_d = jnp.min(jnp.where(neg_mask2[:, :, None], dist2, _BIG), axis=1)
     elif negative_sampling == "semi-hard":
-        pos_mask = (labels[:, None] == labels[None, :]) & ~jnp.eye(b, dtype=bool)
-        furthest_pos = jnp.max(jnp.where(pos_mask, dist, -_BIG), axis=1)
-        semi = neg_mask & (dist > (furthest_pos - margin)[:, None]) & (
-            dist < furthest_pos[:, None]
+        same = labels[:, None] == labels[None, :]
+        # same-class others among anchors; ALL same-class positive views
+        # (the reference's arange(len) != i excludes only the anchor itself)
+        pos_mask2 = jnp.concatenate(
+            [same & ~jnp.eye(b, dtype=bool), same], axis=1
         )
-        semi_d = jnp.min(jnp.where(semi, dist, _BIG), axis=1)
-        hard_d = jnp.min(jnp.where(neg_mask, dist, _BIG), axis=1)
+        furthest_pos = jnp.max(
+            jnp.where(pos_mask2[:, :, None], dist2, -_BIG), axis=1
+        )  # [B, K]
+        semi = (
+            neg_mask2[:, :, None]
+            & (dist2 > (furthest_pos - margin)[:, None])
+            & (dist2 < furthest_pos[:, None])
+        )
+        semi_d = jnp.min(jnp.where(semi, dist2, _BIG), axis=1)
+        hard_d = jnp.min(jnp.where(neg_mask2[:, :, None], dist2, _BIG), axis=1)
         neg_d = jnp.where(jnp.any(semi, axis=1), semi_d, hard_d)
     else:
         raise ValueError(f"Unknown negative sampling strategy: {negative_sampling}")
@@ -184,7 +206,7 @@ def multiview_triplet_loss(
     pos_d = jnp.sqrt(
         jnp.sum(jnp.square(anchor[:, None, :] - positive), axis=-1) + 1e-12
     )
-    per = jnp.maximum(pos_d - neg_d[:, None] + margin, 0.0)  # [B, K]
+    per = jnp.maximum(pos_d - neg_d + margin, 0.0)  # [B, K]
     per = jnp.where(has_neg[:, None], per, 0.0)
-    denom = jnp.maximum(jnp.sum(has_neg) * positive.shape[1], 1)
+    denom = jnp.maximum(jnp.sum(has_neg) * k, 1)
     return jnp.sum(per) / denom

@@ -75,6 +75,12 @@ class ClassifierHead(nn.Module):
     def _hidden(self) -> int:
         if self.hidden_dim is not None:
             return self.hidden_dim
+        if self.fusion_type == "bilinear":
+            # the reference's auto formula (fusion_dim // 2) would make the
+            # bilinear kernel [d_cls*d_moment/2, d_cls, d_moment] — ~0.5 PB
+            # at flagship dims; use a sane auto size instead (documented
+            # divergence: the reference OOMs here)
+            return max((self.d_cls + self.d_moment) // 2, 256)
         # auto: max(fusion_dim // 2, 256) (reference :67-68)
         return max(self._fusion_dim() // 2, 256)
 

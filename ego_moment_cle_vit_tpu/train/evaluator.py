@@ -23,9 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import BatchLoader, dual_view_eval_batch, shard_batch
+from ..data import BatchLoader, dual_view_eval_batch
 from ..models import create_model
-from ..parallel import create_mesh, shard_params
 from .state import restore_checkpoint
 from .trainer import _augment_config, _make_dataset
 
@@ -79,14 +78,17 @@ class Evaluator:
         exp = config.get("experiment", {})
         self.output_dir = Path(exp.get("output_dir", "./outputs")) / "evaluation"
         self.output_dir.mkdir(parents=True, exist_ok=True)
-        self.mesh = create_mesh(model=1)
         self.aug_cfg = _augment_config(config)
         self.variables: Optional[Dict[str, Any]] = None
 
     def setup_data(self) -> None:
         try:
             self.dataset = _make_dataset(self.config, "test")
-        except ValueError:
+        except ValueError as e:
+            # only a missing SPLIT falls back to val; config errors (e.g. a
+            # typo'd dataset name) must surface as-is
+            if "split" not in str(e).lower():
+                raise
             print("No test split found; falling back to val")
             self.dataset = _make_dataset(self.config, "val")
         batch = int(self.config.get("training", {}).get("batch_size", 64))
@@ -140,11 +142,22 @@ class Evaluator:
                 "loss": out["loss"],
                 "moment_features": feats["moment_features"],
                 "anchor_global": feats["anchor_global"],
-                "graph_mean": jnp.mean(feats["fused_graph"], axis=(1, 2)),
-                "fused_graph": feats["fused_graph"],
             }
 
         self._eval_step = eval_step
+
+        @jax.jit
+        def graph_sample_step(images_u8, labels):
+            # one-off: materializing the [B, N, N] fused graph as a jit
+            # OUTPUT on every batch costs real HBM traffic; the viz suite
+            # needs a single sample, fetched once from the first batch
+            anchor, positive = dual_view_eval_batch(images_u8, aug_cfg)
+            out = model.apply(
+                variables, anchor, positive, labels, return_features=True
+            )
+            return out["features"]["fused_graph"][0]
+
+        self._graph_sample_step = graph_sample_step
 
         def make_ablation(mode):
             @jax.jit
@@ -226,7 +239,11 @@ class Evaluator:
             if sample_graph is None:
                 # keep one fused graph for the eval viz suite
                 # (reference eval.py:334 renders the graph-weight panel)
-                sample_graph = np.asarray(out["fused_graph"][0])
+                sample_graph = np.asarray(
+                    self._graph_sample_step(
+                        jnp.asarray(images), jnp.asarray(labels)
+                    )
+                )
             all_logits.append(np.asarray(out["logits"]))
             all_labels.append(labels)
             all_moment.append(np.asarray(out["moment_features"]))

@@ -54,9 +54,10 @@ def create_learning_rate_schedule(
     # ``accumulation_steps`` micro-batches — build the schedule on the
     # update clock or warmup/decay horizons stretch by that factor.
     accum = max(int(tcfg.get("accumulation_steps", 1)), 1)
-    updates_per_epoch = max(-(-steps_per_epoch // accum), 1)
-    warmup_steps = warmup_epochs * updates_per_epoch
-    total_steps = max(epochs * updates_per_epoch, warmup_steps + 1)
+    # global floor, not per-epoch ceil: MultiSteps carries its micro-step
+    # counter ACROSS epochs, so total updates = floor(total_micro / k)
+    warmup_steps = warmup_epochs * steps_per_epoch // accum
+    total_steps = max(epochs * steps_per_epoch // accum, warmup_steps + 1, 1)
 
     if name == "cosine":
         return optax.warmup_cosine_decay_schedule(

@@ -181,9 +181,13 @@ class Trainer:
             seed=self.seed,
             num_workers=workers,
         )
+        # clamp the val batch to the split size: with drop_last (static
+        # XLA shapes) a split smaller than the train batch would otherwise
+        # yield ZERO val batches and best_val_acc would never update
+        val_batch = max(1, min(batch_size, len(self.val_dataset)))
         self.val_loader = BatchLoader(
             self.val_dataset,
-            batch_size=batch_size,
+            batch_size=val_batch,
             shuffle=False,
             seed=self.seed,
             num_workers=workers,
@@ -363,7 +367,7 @@ class Trainer:
         profile_steps = int(exp.get("profile_steps", 0))
         if profile_steps > 0 and epoch == self.start_epoch:
             jax.profiler.start_trace(str(self.log_dir / "profile"))
-        totals: Dict[str, float] = {}
+        totals_dev = None
         count = 0
         t0 = time.perf_counter()
         images_seen = 0
@@ -378,8 +382,13 @@ class Trainer:
             )
             count += 1
             images_seen += labels.shape[0]
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            # accumulate ON DEVICE: a float() per metric per micro-step is a
+            # full device sync that defeats async dispatch (host blocks
+            # before the next step is even enqueued)
+            if totals_dev is None:
+                totals_dev = dict(metrics)
+            else:
+                totals_dev = {k: totals_dev[k] + v for k, v in metrics.items()}
             if (i + 1) % log_freq == 0:
                 lr = float(
                     self.lr_schedule(int(self.state.step) // self._lr_accum)
@@ -388,8 +397,8 @@ class Trainer:
                     "epoch %d step %d loss=%.4f acc=%.4f lr=%.2e",
                     epoch,
                     i + 1,
-                    totals["loss"] / count,
-                    totals["accuracy"] / count,
+                    float(totals_dev["loss"]) / count,
+                    float(totals_dev["accuracy"]) / count,
                     lr,
                 )
                 # per-step wandb parity (reference train.py:402-408)
@@ -405,6 +414,9 @@ class Trainer:
         if profile_steps > 0 and epoch == self.start_epoch:
             jax.profiler.stop_trace()
             self.logger.info("profiler trace written to %s", self.log_dir / "profile")
+        totals = (
+            {k: float(v) for k, v in totals_dev.items()} if totals_dev else {}
+        )
         elapsed = time.perf_counter() - t0
         avg = {k: v / max(count, 1) for k, v in totals.items()}
         avg["images_per_sec"] = images_seen / max(elapsed, 1e-9)
