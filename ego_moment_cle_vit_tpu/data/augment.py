@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -192,13 +193,33 @@ def rotate_gather(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _fft_shift_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int) -> jnp.ndarray:
+def _next_fast_len(n: int) -> int:
+    """Smallest 7-smooth integer >= n (FFT lengths with large prime factors
+    are several times slower; 380 = 2^2*5*19 was the measured hot spot of
+    the whole augmentation chain)."""
+    m = n
+    while True:
+        k = m
+        for p in (2, 3, 5, 7):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 1
+
+
+def _fft_shift_rows(
+    img: jnp.ndarray, shifts: jnp.ndarray, pad: int, n: int | None = None
+) -> jnp.ndarray:
     """Sub-pixel per-row translation along axis 1 via the FFT shift theorem:
     out[i, j] = in[i, j - shifts[i]] with sinc interpolation.  Zero-padding
-    by ``pad`` on both sides keeps the circular wrap out of the image."""
+    by ``pad`` on the left (and at least ``pad`` on the right, extended to
+    the 7-smooth FFT length ``n``) keeps the circular wrap out of the
+    image."""
     h, w, c = img.shape
-    x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)))
-    n = w + 2 * pad
+    if n is None:
+        n = _next_fast_len(w + 2 * pad)
+    x = jnp.pad(img, ((0, 0), (pad, n - w - pad), (0, 0)))
     f = jnp.fft.rfft(x, axis=1)
     k = jnp.arange(f.shape[1])
     phase = jnp.exp(
@@ -209,7 +230,10 @@ def _fft_shift_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int) -> jnp.ndar
 
 
 def rotate(
-    img: jnp.ndarray, angle_deg: jnp.ndarray, method: str = "shear_fft"
+    img: jnp.ndarray,
+    angle_deg: jnp.ndarray,
+    method: str = "shear_fft",
+    max_abs_deg: float | None = None,
 ) -> jnp.ndarray:
     """Center rotation by ``angle_deg`` degrees.
 
@@ -234,10 +258,16 @@ def rotate(
     rows = jnp.arange(h, dtype=jnp.float32) - cy
     cols = jnp.arange(w, dtype=jnp.float32) - cx
     # Zero-pad against circular wrap.  Max per-shear shift is
-    # max(|tan(theta/2)|, |sin(theta)|) * dim/2; 0.35*dim covers |theta| up
-    # to ~40 deg (far beyond the augmentation range of +-10).  Larger angles
-    # should use method='gather'.
-    pad = max(16, int(0.35 * max(h, w)))
+    # max(|tan(theta/2)|, |sin(theta)|) * dim/2.  When the caller declares
+    # a static angle bound (random_rotate passes the config's degrees) the
+    # pad shrinks accordingly; the 0.35*dim fallback covers |theta| to
+    # ~40 deg (beyond that use method='gather').
+    if max_abs_deg is not None:
+        r = abs(max_abs_deg) * np.pi / 180.0
+        frac = max(np.tan(r / 2.0), np.sin(r))
+        pad = max(8, int(np.ceil(frac * max(h, w) / 2.0)) + 4)
+    else:
+        pad = max(16, int(0.35 * max(h, w)))
     lo, hi = jnp.min(img), jnp.max(img)
     out = _fft_shift_rows(img, a * rows, pad)
     out = jnp.swapaxes(
@@ -254,7 +284,7 @@ def random_rotate(
     method: str = "shear_fft",
 ) -> jnp.ndarray:
     angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees)
-    return rotate(img, angle, method=method)
+    return rotate(img, angle, method=method, max_abs_deg=degrees)
 
 
 # ---------------------------------------------------------------------------
