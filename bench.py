@@ -19,9 +19,9 @@ measured CPU-side PIL augmentation bottleneck (8 workers, ~45 ms/sample
 chain) to ~180 img/s.  BASELINE.json's target is >=3x that per chip.
 
 Env knobs: BENCH_BATCH (default 64 — measured on one v5e with the flash
-window-attention kernel: 32 -> 186.0, 64 -> 192.2 img/s/chip, 1.07x the
-A100 estimate; pre-kernel history: 16 -> 118.4, 32 -> 124.8,
-64+block-remat -> 102.4), BENCH_STEPS (default 20),
+window-attention kernel + fast-FFT rotate: 64 -> 197.5 img/s/chip, 1.10x
+the A100 estimate; history: 16 -> 118.4, 32 -> 124.8 pre-kernel; 32 ->
+186.0, 64 -> 192.2 with the kernel), BENCH_STEPS (default 20),
 BENCH_PRESET=small for a vit-small quick run, BENCH_PRESET=large for the
 reference's swin_large flagship config, BENCH_MODE=infer to measure
 the specialized single-pass serving path instead of the train step.
