@@ -18,7 +18,9 @@ from jax.sharding import Mesh
 
 
 def local_device_count() -> int:
-    return len(jax.devices())
+    """Devices attached to THIS host (multi-host slices have more globally;
+    size per-host batches with this, global batches with len(jax.devices()))."""
+    return jax.local_device_count()
 
 
 def create_mesh(

@@ -70,3 +70,13 @@ def print_model_info(params: Any, name: str = "model") -> None:
     print(f"  parameters: {info['total_parameters']:,}")
     print(f"  fp32 memory: {info['parameter_memory_mb']:.1f} MB")
     print(f"  tensors: {info['num_param_tensors']}")
+
+
+def apply_device_override(device: str | None) -> None:
+    """Resolve the --device CLI flag to a jax platform ('tpu' -> the axon
+    backend on this environment); one shared implementation for all CLIs."""
+    if not device:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", "axon" if device == "tpu" else device)

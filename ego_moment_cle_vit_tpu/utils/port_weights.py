@@ -117,17 +117,20 @@ def convert_swin_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
                 "mlp_fc1": _linear(sd, f"{p}.mlp.fc1"),
                 "mlp_fc2": _linear(sd, f"{p}.mlp.fc2"),
             }
-        # downsample: newer timm keeps it at the start of stage s+1; older at
-        # the end of stage s.  Ours sits between s and s+1 as stage{s}_downsample.
-        for cand, target in (
-            (f"layers.{s + 1}.downsample", f"stage{s}_downsample"),
-            (f"layers.{s}.downsample", f"stage{s}_downsample"),
-        ):
-            if f"{cand}.norm.weight" in sd and target not in params:
-                params[target] = {
-                    "norm": _norm(sd, f"{cand}.norm"),
-                    "reduction": {"kernel": _t(sd[f"{cand}.reduction.weight"]).T},
-                }
+    # downsample: newer timm keeps it at the START of stage s+1; older timm
+    # at the END of stage s.  Ours sits between s and s+1 as
+    # stage{s}_downsample.  Detect the layout ONCE globally — a per-stage
+    # candidate preference would map older-layout weights one stage off
+    # (layers.1.downsample exists in BOTH layouts but belongs to different
+    # boundaries), and would emit a spurious stage{last}_downsample.
+    older_layout = "layers.0.downsample.norm.weight" in sd
+    for s in range(num_stages - 1):
+        cand = f"layers.{s}.downsample" if older_layout else f"layers.{s + 1}.downsample"
+        if f"{cand}.norm.weight" in sd:
+            params[f"stage{s}_downsample"] = {
+                "norm": _norm(sd, f"{cand}.norm"),
+                "reduction": {"kernel": _t(sd[f"{cand}.reduction.weight"]).T},
+            }
     return params
 
 

@@ -30,12 +30,9 @@ def main(argv=None) -> int:
     parser.add_argument("--device", default=None, choices=["tpu", "cpu", "axon"])
     args = parser.parse_args(argv)
 
-    if args.device:
-        import jax
+    from ego_moment_cle_vit_tpu.utils.ops import apply_device_override
 
-        jax.config.update(
-            "jax_platforms", "axon" if args.device == "tpu" else args.device
-        )
+    apply_device_override(args.device)
 
     import numpy as np
     import jax
@@ -102,8 +99,12 @@ def main(argv=None) -> int:
         ds = _make_dataset(config, args.dataset_split)
         class_names = ds.classes
         take = min(args.limit, len(ds))
-        arrs = [ds[i][0] for i in range(take)]
-        names = [f"{args.dataset_split}[{i}] (true={ds[i][1]})" for i in range(take)]
+        samples = [ds[i] for i in range(take)]  # one decode per sample
+        arrs = [img for img, _ in samples]
+        names = [
+            f"{args.dataset_split}[{i}] (true={lbl})"
+            for i, (_, lbl) in enumerate(samples)
+        ]
         batches.append(np.stack(arrs))
     else:
         print("error: pass --images or --dataset-split")

@@ -38,12 +38,9 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    if args.device:
-        import jax
+    from ego_moment_cle_vit_tpu.utils.ops import apply_device_override
 
-        jax.config.update(
-            "jax_platforms", "axon" if args.device == "tpu" else args.device
-        )
+    apply_device_override(args.device)
 
     from ego_moment_cle_vit_tpu.utils import load_config, merge_overrides
     from ego_moment_cle_vit_tpu.train import Trainer
