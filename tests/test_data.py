@@ -180,3 +180,21 @@ def test_ufgvc_rejects_unknown_dataset():
 
     with pytest.raises(ValueError, match="not found"):
         UFGVCDataset(dataset_name="nope", download=False)
+
+
+def test_grid_shuffle_non_divisible_size():
+    """input_size % grid_size != 0 leaves the remainder strip un-shuffled
+    (the reference's integer-division tile loop never touches it) instead
+    of crashing at trace time."""
+    from ego_moment_cle_vit_tpu.data.augment import grid_shuffle
+
+    img = jnp.asarray(np.random.default_rng(0).random((450, 450, 3)), jnp.float32)
+    out = grid_shuffle(img, jax.random.PRNGKey(0), 4)
+    assert out.shape == img.shape
+    np.testing.assert_array_equal(np.asarray(out[448:]), np.asarray(img[448:]))
+    np.testing.assert_array_equal(np.asarray(out[:, 448:]), np.asarray(img[:, 448:]))
+    # the shuffled region is a permutation of the original tiles
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out[:448, :448]).ravel()),
+        np.sort(np.asarray(img[:448, :448]).ravel()),
+    )

@@ -210,3 +210,30 @@ def test_losses_differentiable(rng, labels):
     assert bool(jnp.all(jnp.isfinite(grads)))
     grads = jax.grad(lambda x: graph_alignment_mse_loss(x, lab))(g)
     assert bool(jnp.all(jnp.isfinite(grads)))
+
+
+def test_multiview_mining_includes_positive_views():
+    """Reference parity: negatives are mined over the 2B concatenated
+    [anchor; positive-view] set (triplet_loss.py:276-280), so a
+    DIFFERENT-CLASS positive view that is closer than every anchor must be
+    the mined hard negative."""
+    import jax.numpy as jnp
+    from ego_moment_cle_vit_tpu.losses import multiview_triplet_loss
+
+    # anchors far apart; class-1's positive view sits right next to the
+    # class-0 anchor (distance 0.1 < any anchor-anchor distance)
+    anchor = jnp.asarray([[0.0, 0.0], [10.0, 0.0]])
+    positive = jnp.asarray([[[0.0, 1.0]], [[0.1, 0.0]]])  # [B, 1, D]
+    labels = jnp.asarray([0, 1])
+
+    loss = multiview_triplet_loss(
+        anchor, positive, labels, margin=1.0, normalize=False,
+        negative_sampling="hard",
+    )
+    # anchor0: pos_d = 1.0, hard neg = class-1's positive view at 0.1
+    #   -> hinge max(1.0 - 0.1 + 1.0, 0) = 1.9
+    # anchor1: its positive sits at (0.1, 0) -> pos_d = 9.9; hard neg =
+    #   anchor0 at distance 10 -> hinge max(9.9 - 10 + 1, 0) = 0.9
+    # mean = 1.4.  Anchor-only mining (the old bug) would give
+    # (0 + 0.9)/2 = 0.45 because anchor0's nearest anchor negative is 10.
+    np.testing.assert_allclose(float(loss), 1.4, atol=1e-3)

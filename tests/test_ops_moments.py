@@ -230,3 +230,23 @@ def test_isqrt_cov_subspace_equals_dense(rng):
     gs = jax.grad(loss_sub)(c)
     rel = float(jnp.linalg.norm(gs - gd) / jnp.linalg.norm(gd))
     assert rel < 1e-5, rel
+
+
+def test_paired_vech_permutation_odd_dim_is_identity():
+    """half_vectorize_paired falls back to row-major vech for odd dims, so
+    the conversion permutation must be the identity (it previously returned
+    uninitialized memory)."""
+    from ego_moment_cle_vit_tpu.ops.moments import (
+        half_vectorize,
+        half_vectorize_paired,
+        paired_vech_permutation,
+    )
+
+    d = 7
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((d, d)).astype(np.float32)
+    m = (m + m.T) / 2
+    hp = np.asarray(half_vectorize_paired(jnp.asarray(m)[None])[0])
+    hv = np.asarray(half_vectorize(jnp.asarray(m)[None])[0])
+    perm = paired_vech_permutation(d)
+    np.testing.assert_allclose(hp, hv[perm])
