@@ -207,3 +207,70 @@ def test_swin_conversion_maps_names(rng):
         "relative_position_bias_table"
     ].shape == ((2 * ws - 1) ** 2, heads)
     assert params["patch_embed_proj"]["kernel"].shape == (4, 4, 3, dim)
+
+
+def test_swin_conversion_older_timm_layout(rng):
+    """Older-timm layout keeps the PatchMerging at the END of each stage
+    (layers.{s}.downsample).  The converter must detect the layout globally
+    — a per-stage candidate preference previously mapped these one stage
+    off — and must never emit a downsample for the final stage."""
+    g = torch.Generator().manual_seed(1)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    dim, heads, ws = 8, 2, 4
+    sd = {
+        "patch_embed.proj.weight": t(dim, 3, 4, 4),
+        "patch_embed.proj.bias": t(dim),
+        "patch_embed.norm.weight": t(dim),
+        "patch_embed.norm.bias": t(dim),
+        "norm.weight": t(4 * dim),
+        "norm.bias": t(4 * dim),
+    }
+    for s, d in ((0, dim), (1, 2 * dim), (2, 4 * dim)):
+        sd.update(
+            {
+                f"layers.{s}.blocks.0.norm1.weight": t(d),
+                f"layers.{s}.blocks.0.norm1.bias": t(d),
+                f"layers.{s}.blocks.0.norm2.weight": t(d),
+                f"layers.{s}.blocks.0.norm2.bias": t(d),
+                f"layers.{s}.blocks.0.attn.qkv.weight": t(3 * d, d),
+                f"layers.{s}.blocks.0.attn.qkv.bias": t(3 * d),
+                f"layers.{s}.blocks.0.attn.proj.weight": t(d, d),
+                f"layers.{s}.blocks.0.attn.proj.bias": t(d),
+                f"layers.{s}.blocks.0.attn.relative_position_bias_table": t(
+                    (2 * ws - 1) ** 2, heads
+                ),
+                f"layers.{s}.blocks.0.mlp.fc1.weight": t(4 * d, d),
+                f"layers.{s}.blocks.0.mlp.fc1.bias": t(4 * d),
+                f"layers.{s}.blocks.0.mlp.fc2.weight": t(d, 4 * d),
+                f"layers.{s}.blocks.0.mlp.fc2.bias": t(d),
+            }
+        )
+    # OLDER layout: downsample at the END of stages 0 and 1 (indexed by the
+    # stage it closes), nothing on the last stage
+    for s, d in ((0, dim), (1, 2 * dim)):
+        sd.update(
+            {
+                f"layers.{s}.downsample.norm.weight": t(4 * d),
+                f"layers.{s}.downsample.norm.bias": t(4 * d),
+                f"layers.{s}.downsample.reduction.weight": t(2 * d, 4 * d),
+            }
+        )
+    params = convert_swin_state_dict(sd)
+    # boundary s keeps boundary-s weights (stage0: 4*dim -> 2*dim)
+    assert params["stage0_downsample"]["reduction"]["kernel"].shape == (
+        4 * dim,
+        2 * dim,
+    )
+    assert params["stage1_downsample"]["reduction"]["kernel"].shape == (
+        8 * dim,
+        4 * dim,
+    )
+    np.testing.assert_allclose(
+        params["stage0_downsample"]["norm"]["scale"],
+        sd["layers.0.downsample.norm.weight"].numpy(),
+    )
+    # no spurious final-stage downsample
+    assert "stage2_downsample" not in params
