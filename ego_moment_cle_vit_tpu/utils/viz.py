@@ -72,7 +72,7 @@ def plot_graph_weights(
         )
         axes[0, 1].set_title("connectivity strength")
         fig.colorbar(im, ax=axes[0, 1])
-        center = g[n // 2 + spatial_size // 2]
+        center = g[(spatial_size // 2) * spatial_size + spatial_size // 2]
         im = axes[1, 0].imshow(
             center.reshape(spatial_size, spatial_size), cmap="hot"
         )
@@ -130,6 +130,10 @@ def plot_feature_embeddings(
         )
         feats, labels = feats[idx], labels[idx]
 
+    if method not in ("tsne", "pca"):
+        raise ValueError(
+            f"Unknown embedding method '{method}' (choose 'tsne' or 'pca')"
+        )
     if method == "tsne":
         try:
             from sklearn.manifold import TSNE

@@ -22,9 +22,10 @@ def check_requirements() -> bool:
         except ImportError as exc:
             print(f"  [MISSING] {mod}: {exc}")
             ok = False
-    import jax
+    if ok:
+        import jax
 
-    print(f"  backend: {jax.default_backend()} x{len(jax.devices())}")
+        print(f"  backend: {jax.default_backend()} x{len(jax.devices())}")
     return ok
 
 
@@ -100,12 +101,9 @@ def main(argv=None) -> int:
     parser.add_argument("--device", default=None, choices=["tpu", "cpu", "axon"])
     parser.add_argument("--skip-demo", action="store_true")
     args = parser.parse_args(argv)
-    if args.device:
-        import jax
+    from ego_moment_cle_vit_tpu.utils.ops import apply_device_override
 
-        jax.config.update(
-            "jax_platforms", "axon" if args.device == "tpu" else args.device
-        )
+    apply_device_override(args.device)
     if not check_requirements():
         return 1
     print_architecture()

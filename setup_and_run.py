@@ -44,7 +44,8 @@ def ensure_dataset(name: str, root: str) -> bool:
 
 
 def generate_quickstart_config(
-    dataset: str, epochs: int, batch_size: int, out_path: Path
+    dataset: str, epochs: int, batch_size: int, out_path: Path,
+    root: str = "./data",
 ) -> Path:
     """Derive a reduced config from ufg_base.yaml (reference
     setup_and_run.py:126-163 generates a quick-start YAML the same way)."""
@@ -52,6 +53,7 @@ def generate_quickstart_config(
 
     cfg = load_config(str(HERE / "configs" / "ufg_base.yaml"))
     cfg["dataset"]["name"] = dataset
+    cfg["dataset"]["root"] = root  # the dir --root downloaded into
     cfg["training"]["epochs"] = epochs
     cfg["training"]["batch_size"] = batch_size
     cfg["training"]["save_frequency"] = max(1, epochs // 2)
@@ -81,14 +83,18 @@ def main(argv=None) -> int:
         return 1
 
     cfg_path = generate_quickstart_config(
-        args.dataset, args.epochs, args.batch_size, HERE / "configs" / "quickstart.yaml"
+        args.dataset, args.epochs, args.batch_size,
+        HERE / "configs" / "quickstart.yaml", root=args.root,
     )
 
     print("=== Training ===")
     train_cmd = [sys.executable, str(HERE / "train.py"), "--config", str(cfg_path)]
     if args.device:
         train_cmd += ["--device", args.device]
-    if subprocess.call(train_cmd) != 0:
+    # anchor the subprocess at the repo: the config's relative save/output
+    # dirs (./checkpoints, ./outputs) must line up with the HERE-anchored
+    # paths the eval/summary steps read below
+    if subprocess.call(train_cmd, cwd=HERE) != 0:
         print("training failed")
         return 1
 
@@ -105,7 +111,7 @@ def main(argv=None) -> int:
         ]
         if args.device:
             eval_cmd += ["--device", args.device]
-        if subprocess.call(eval_cmd) != 0:
+        if subprocess.call(eval_cmd, cwd=HERE) != 0:
             print("evaluation failed")
             return 1
         results = HERE / "outputs" / "evaluation" / "results.json"
