@@ -125,3 +125,35 @@ def test_multichip_mesh_sharding(smoke_config):
     kernel = trainer.state.params["moment_head"]["second_proj"]["kernel"]
     spec = kernel.sharding.spec
     assert spec[0] == "model", spec
+
+
+def test_lr_schedule_runs_on_update_clock_under_accumulation():
+    """With optax.MultiSteps the inner optimizer advances once per UPDATE
+    (= accumulation_steps micro-batches), and its counter carries across
+    epochs — the schedule horizon must be floor(total_micro / k)."""
+    from ego_moment_cle_vit_tpu.train.state import (
+        create_learning_rate_schedule,
+    )
+
+    cfg = {
+        "training": {
+            "optimizer": {"lr": 1e-3},
+            "scheduler": {
+                "name": "cosine",
+                "warmup_epochs": 2,
+                "warmup_lr": 1e-6,
+                "min_lr": 1e-6,
+            },
+            "epochs": 10,
+            "accumulation_steps": 4,
+        }
+    }
+    steps_per_epoch = 10
+    sched = create_learning_rate_schedule(cfg, steps_per_epoch)
+    total_updates = 10 * steps_per_epoch // 4  # 25
+    warmup_updates = 2 * steps_per_epoch // 4  # 5
+    # peak reached exactly at the end of warmup (on the update clock)
+    assert abs(float(sched(warmup_updates)) - 1e-3) < 1e-9
+    # decayed to min_lr by the true number of optimizer updates — with the
+    # old micro-step horizon (100) this would still be mid-cosine
+    assert float(sched(total_updates)) < 2e-6
