@@ -19,11 +19,15 @@ dWproj, dbproj, dLN-scale, dLN-bias, d-relative-bias) into constant-index
 output blocks that stay VMEM-resident across the whole grid.
 
 STATUS — experimental opt-in (``attn_kernel='fused'``), correct but not
-the default: the backward is a very large Mosaic program (forward
-recompute + unrolled head loop + 8 outputs) whose remote compiles ran
-20+ minutes per stage variant on the axon tunnel (one attempt OOM-killed
-the compile helper).  Until compile cost comes down (smaller unroll or a
-split fwd-recompute/bwd-matmul pair), the attention-only kernel
+the default, and measured SLOWER than the production path at stage2
+(13.97 vs 9.87 ms fwd+bwd at dual-view 128): Mosaic's in-kernel qkv/proj
+matmuls and the window-layout relayouts cost more than the HBM sweeps
+they eliminate at C>=512, and the backward is a very large Mosaic
+program whose remote compiles ran 20+ minutes per stage variant (the
+stage0 variant OOM-killed the compile helper twice).  A future version
+should keep the projections in XLA and fuse only the
+LN1+partition+attention+reverse band, or split the backward into a
+recompute kernel plus XLA matmul grads.  The attention-only kernel
 (window_attention.py) remains the production path.
 
 Reference being beaten: the torch/timm SwinTransformerBlock as wrapped at
