@@ -71,6 +71,7 @@ class EGOMomentCLEViT(nn.Module):
     backbone_remat: str = "attn"  # 'none' | 'attn' | 'block'
     backbone_attn_kernel: str = "auto"  # 'auto' | 'on' | 'off' (Swin only)
     moment_remat: bool = False
+    moment_bf16_params: bool = False  # bf16-store the vech projection
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -103,6 +104,7 @@ class EGOMomentCLEViT(nn.Module):
             norm=self.norm,
             axis_name=self.axis_name,
             remat=self.moment_remat,
+            bf16_params=self.moment_bf16_params,
             dtype=self.dtype,
         )
         # classifier variant (reference exports all three heads,
@@ -220,13 +222,17 @@ class EGOMomentCLEViT(nn.Module):
             "loss_main_ce": cross_entropy_loss(main_logits, labels),
             "loss_anchor_ce": cross_entropy_loss(anchor_logits, labels),
             "loss_positive_ce": cross_entropy_loss(positive_logits, labels),
-            "loss_triplet": self.lambda_triplet
-            * roll_negative_triplet_loss(
-                anchor_global.astype(jnp.float32),
-                positive_global.astype(jnp.float32),
-                margin=self.margin,
-            ),
         }
+        # trace-time gating (like lambda_align below): a zero-weight term
+        # must cost zero compute, not a multiply-by-zero subgraph
+        if self.lambda_triplet > 0:
+            loss_dict["loss_triplet"] = self.lambda_triplet * (
+                roll_negative_triplet_loss(
+                    anchor_global.astype(jnp.float32),
+                    positive_global.astype(jnp.float32),
+                    margin=self.margin,
+                )
+            )
         if self.lambda_align > 0:
             loss_dict["loss_align"] = self.lambda_align * graph_alignment_mse_loss(
                 fused_graph.astype(jnp.float32), labels
@@ -316,5 +322,6 @@ def create_model(config: Dict[str, Any], num_classes: int) -> EGOMomentCLEViT:
         backbone_remat=mcfg.get("backbone_remat", "attn"),
         backbone_attn_kernel=mcfg.get("backbone_attn_kernel", "auto"),
         moment_remat=moment.get("remat", False),
+        moment_bf16_params=moment.get("bf16_params", False),
         dtype=jnp.bfloat16 if mcfg.get("bf16", False) else jnp.float32,
     )

@@ -93,6 +93,9 @@ class MomentHead(nn.Module):
     remat: bool = False  # checkpoint the iSQRT (memory-optimized variant)
     use_pallas: bool = True  # VMEM-resident NS kernel when available
     isqrt_subspace: bool = True  # N<D token-subspace NS (exact; ~70x FLOPs cut)
+    bf16_params: bool = False  # store the huge vech projection in bf16
+    # (fp32 master kept by the optimizer — train.state.master_weights);
+    # halves every HBM sweep of the ~269M-param second_proj kernel
     dtype: Dtype = jnp.float32
 
     @property
@@ -170,7 +173,12 @@ class MomentHead(nn.Module):
         m2_vec = half_vectorize_paired(m2_normalized).astype(self.dtype)
 
         # 7) second-order projection: Linear -> Norm -> GELU -> Dropout
-        x = nn.Dense(self.d_second, dtype=self.dtype, name="second_proj")(m2_vec)
+        x = nn.Dense(
+            self.d_second,
+            dtype=self.dtype,
+            param_dtype=jnp.bfloat16 if self.bf16_params else jnp.float32,
+            name="second_proj",
+        )(m2_vec)
         x = _Norm(self.norm, self.axis_name, name="second_norm")(
             x, use_running_average=deterministic
         )

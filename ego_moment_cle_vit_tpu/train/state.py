@@ -31,6 +31,81 @@ class EMCTrainState(train_state.TrainState):
     constants: Any = None
 
 
+class _MasterWeightsState(struct.PyTreeNode):
+    master: Any
+    inner: Any
+
+
+def master_weights(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """fp32 master copy for low-precision (bf16-stored) parameters.
+
+    The inner transform runs entirely on an fp32 master tree (grads are
+    upcast); the emitted update is ``bf16(new_master) - param`` cast back to
+    the update dtype (matching dtypes with ``apply_if_finite``'s zero
+    branch), so ``optax.apply_updates`` lands the parameter on
+    ``bf16(new_master)`` to within one bf16 ulp — and since each step's
+    update is recomputed against the CURRENT param, that rounding never
+    accumulates.  Used for the moment head's ~269 M-param vech projection
+    when ``model.moment.bf16_params`` is on: parameter reads in fwd/bwd and
+    the gradient sweeps halve, while update math keeps fp32 precision
+    (docs/PERFORMANCE.md "bf16 parameter storage" lever).
+    """
+
+    def init_fn(params):
+        master = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(p, jnp.float32), params
+        )
+        return _MasterWeightsState(master=master, inner=inner.init(master))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("master_weights requires params")
+        u32 = jax.tree_util.tree_map(
+            lambda u: u.astype(jnp.float32), updates
+        )
+        inner_up, inner_state = inner.update(u32, state.inner, state.master)
+        new_master = optax.apply_updates(state.master, inner_up)
+        emitted = jax.tree_util.tree_map(
+            lambda nm, p, u: (
+                nm.astype(p.dtype).astype(jnp.float32) - p.astype(jnp.float32)
+            ).astype(u.dtype),
+            new_master,
+            params,
+            updates,
+        )
+        return emitted, _MasterWeightsState(master=new_master, inner=inner_state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm with the norm accumulated in fp32.
+
+    Needed once any gradient leaf is bf16 (stock ``optax.global_norm``
+    reduces in the leaf dtype — a 269 M-element bf16 sum is garbage);
+    identical semantics for all-fp32 trees.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = sum(
+            jnp.sum(jnp.square(u.astype(jnp.float32)))
+            for u in jax.tree_util.tree_leaves(updates)
+        )
+        g_norm = jnp.sqrt(sq)
+        trigger = jnp.minimum(max_norm / jnp.maximum(g_norm, 1e-16), 1.0)
+        updates = jax.tree_util.tree_map(
+            lambda u: (u.astype(jnp.float32) * trigger).astype(u.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def create_learning_rate_schedule(
     config: Dict[str, Any], steps_per_epoch: int
 ) -> optax.Schedule:
@@ -106,48 +181,59 @@ def create_optimizer(
         weight_decay=float(opt.get("weight_decay", 0.05)),
     )
     factored_threshold = int(opt.get("factored_threshold", 32_000_000))
-    if opt.get("factored_large_leaves", True):
-        # AdamW-shaped chain with a factored second moment: rms-rescale ->
-        # bf16 momentum -> DECOUPLED weight decay -> lr scale.  (Stock
-        # optax.adafactor applies weight_decay_rate AFTER the lr scaling,
-        # i.e. an lr-independent 5%/step shrink — not AdamW semantics.)
-        # NOTE on decay semantics: scale_by_factored_rms's ``decay_rate`` is
-        # the EXPONENT of adafactor's time-dependent schedule
-        # 1 - t**(-decay_rate), NOT a constant beta2 — the factored leaf's
-        # second moment adapts faster early in training than dense AdamW's
-        # 0.999 (intended: adafactor statistics; recorded in
-        # docs/DIVERGENCES.md).
-        factored = optax.chain(
-            optax.scale_by_factored_rms(
-                factored=True,
-                decay_rate=float(betas[1]),
-                epsilon=float(opt.get("eps", 1e-8)) ** 2,
-            ),
-            optax.ema(
-                float(betas[0]), debias=False, accumulator_dtype=jnp.bfloat16
-            ),
-            optax.add_decayed_weights(float(opt.get("weight_decay", 0.05))),
-            optax.scale_by_learning_rate(schedule),
-        )
-
-        def label(params):
-            return jax.tree_util.tree_map(
-                lambda p: "factored"
-                if p.ndim == 2 and p.size >= factored_threshold
-                else "dense",
-                params,
-            )
-
-        inner = optax.multi_transform(
-            {"dense": adamw, "factored": factored}, label
-        )
-    else:
-        inner = adamw
-
-    tx = optax.chain(
-        optax.clip_by_global_norm(float(tcfg.get("grad_clip", 1.0))),
-        inner,
+    factored_on = bool(opt.get("factored_large_leaves", True))
+    # AdamW-shaped chain with a factored second moment: rms-rescale ->
+    # bf16 momentum -> DECOUPLED weight decay -> lr scale.  (Stock
+    # optax.adafactor applies weight_decay_rate AFTER the lr scaling,
+    # i.e. an lr-independent 5%/step shrink — not AdamW semantics.)
+    # NOTE on decay semantics: scale_by_factored_rms's ``decay_rate`` is
+    # the EXPONENT of adafactor's time-dependent schedule
+    # 1 - t**(-decay_rate), NOT a constant beta2 — the factored leaf's
+    # second moment adapts faster early in training than dense AdamW's
+    # 0.999 (intended: adafactor statistics; recorded in
+    # docs/DIVERGENCES.md).
+    factored = optax.chain(
+        optax.scale_by_factored_rms(
+            factored=True,
+            decay_rate=float(betas[1]),
+            epsilon=float(opt.get("eps", 1e-8)) ** 2,
+        ),
+        optax.ema(
+            float(betas[0]), debias=False, accumulator_dtype=jnp.bfloat16
+        ),
+        optax.add_decayed_weights(float(opt.get("weight_decay", 0.05))),
+        optax.scale_by_learning_rate(schedule),
     )
+
+    def label(params):
+        # bf16-stored parameters (model.moment.bf16_params) get an fp32
+        # master wrapped around their size-class transform
+        def one(p):
+            big = factored_on and p.ndim == 2 and p.size >= factored_threshold
+            base = "factored" if big else "dense"
+            if p.dtype == jnp.bfloat16:
+                return base + "_master"
+            return base
+
+        return jax.tree_util.tree_map(one, params)
+
+    inner = optax.multi_transform(
+        {
+            "dense": adamw,
+            "factored": factored,
+            "dense_master": master_weights(adamw),
+            "factored_master": master_weights(factored),
+        },
+        label,
+    )
+
+    grad_clip = float(tcfg.get("grad_clip", 1.0))
+    if grad_clip > 0:
+        # grad_clip <= 0 disables clipping (and its full-gradient-tree
+        # global-norm sweep) entirely; fp32-accumulated norm (bf16 leaves)
+        tx = optax.chain(clip_by_global_norm_f32(grad_clip), inner)
+    else:
+        tx = inner
     # failure containment: skip non-finite updates instead of corrupting the
     # train state (the reference has no failure detection at all —
     # SURVEY.md §5); abort after ``max_consecutive_errors`` bad steps.

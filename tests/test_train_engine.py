@@ -157,3 +157,132 @@ def test_lr_schedule_runs_on_update_clock_under_accumulation():
     # decayed to min_lr by the true number of optimizer updates — with the
     # old micro-step horizon (100) this would still be mid-cosine
     assert float(sched(total_updates)) < 2e-6
+
+
+def test_master_weights_accumulates_below_bf16_resolution():
+    """bf16 storage alone loses updates smaller than the parameter's ulp
+    (~0.0078 at 1.0); the fp32 master must accumulate them and the bf16
+    param must track bf16(master) bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ego_moment_cle_vit_tpu.train.state import master_weights
+
+    tx = master_weights(optax.sgd(1.0))
+    params = {"w": jnp.ones((4,), jnp.bfloat16)}
+    state = tx.init(params)
+    grad = {"w": jnp.full((4,), 1e-4, jnp.bfloat16)}
+    for _ in range(100):
+        updates, state = tx.update(grad, state, params)
+        params = optax.apply_updates(params, updates)
+    # master: 1.0 - 100 * 1e-4 = 0.99 (fp32); param == bf16(master)
+    master = state.master["w"]
+    np.testing.assert_allclose(np.asarray(master), 0.99, rtol=1e-3)
+    assert params["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(params["w"]), np.asarray(master.astype(jnp.bfloat16))
+    )
+    # control: plain bf16 SGD loses every one of these updates
+    p = jnp.ones((4,), jnp.bfloat16)
+    p2 = optax.apply_updates(p, jnp.full((4,), -1e-4, jnp.bfloat16))
+    assert float(p2[0]) == 1.0  # 1.0 + (-1e-4) rounds back to 1.0 in bf16
+
+
+def test_clip_by_global_norm_f32_matches_optax_on_fp32():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ego_moment_cle_vit_tpu.train.state import clip_by_global_norm_f32
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": jnp.asarray(rng.standard_normal((7, 5)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal((11,)).astype(np.float32) * 3),
+    }
+    ours = clip_by_global_norm_f32(0.5)
+    ref = optax.clip_by_global_norm(0.5)
+    got, _ = ours.update(tree, ours.init(tree))
+    want, _ = ref.update(tree, ref.init(tree))
+    for k in tree:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6
+        )
+
+
+def test_bf16_param_storage_trains_end_to_end():
+    """model.moment.bf16_params stores the vech projection in bf16; the
+    optimizer must label it *_master, keep an fp32 master, and the full
+    train step must stay finite and actually move the projection."""
+    import jax
+    import jax.numpy as jnp
+
+    from ego_moment_cle_vit_tpu.data import AugmentConfig, dual_view_train_batch
+    from ego_moment_cle_vit_tpu.models import create_model
+    from ego_moment_cle_vit_tpu.train.state import create_train_state
+
+    config = {
+        "model": {
+            "backbone_name": "vit_tiny_patch16_224",
+            "norm": "layer",
+            "bf16": False,
+            "gpf": {"degree_p": 1, "degree_q": 1},
+            "moment": {
+                "d_out": 64,
+                "use_third_order": False,
+                "isqrt_iterations": 2,
+                "sketch_dim": 128,
+                "bf16_params": True,
+            },
+            "classifier": {"fusion_type": "concat", "hidden_dim": 32},
+        },
+        "training": {
+            "batch_size": 4,
+            "optimizer": {"lr": 1e-2, "factored_threshold": 1000},
+            "scheduler": {"warmup_epochs": 0},
+            "loss": {"lambda_triplet": 0.6, "lambda_align": 0.1, "margin": 0.3},
+            "epochs": 1,
+        },
+        "data": {"input_size": 64, "resize_size": 80},
+    }
+    model = create_model(config, num_classes=4)
+    aug_cfg = AugmentConfig(input_size=64, resize_size=80)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (4, 80, 80, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 4, (4,)), jnp.int32)
+    dummy = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), dummy, dummy, jnp.zeros((2,), jnp.int32)
+    )
+    proj = variables["params"]["moment_head"]["second_proj"]["kernel"]
+    assert proj.dtype == jnp.bfloat16
+    state = create_train_state(model, variables, config, steps_per_epoch=10)
+
+    def train_step(state, images_u8, labels, key):
+        aug_key, dk = jax.random.split(jax.random.fold_in(key, state.step))
+        anchor, positive = dual_view_train_batch(images_u8, aug_key, aug_cfg)
+
+        def loss_fn(params):
+            vs = {"params": params}
+            if state.constants is not None:
+                vs["constants"] = state.constants
+            out = model.apply(
+                vs, anchor, positive, labels,
+                deterministic=False, rngs={"dropout": dk},
+            )
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    step = jax.jit(train_step)
+    before = np.asarray(
+        state.params["moment_head"]["second_proj"]["kernel"], np.float32
+    )
+    for i in range(3):
+        state, loss = step(state, images, labels, jax.random.PRNGKey(i))
+    assert np.isfinite(float(loss)), float(loss)
+    after_p = state.params["moment_head"]["second_proj"]["kernel"]
+    assert after_p.dtype == jnp.bfloat16
+    assert not np.allclose(np.asarray(after_p, np.float32), before)
