@@ -316,11 +316,28 @@ def _bwd(similarity, eps, symmetric_enforce, residuals, g):
 fused_gpf_pallas.defvjp(_fwd, _bwd)
 
 
-def fused_gpf_available(n: int, d: int, platform: str | None = None) -> bool:
-    """Use the kernel when on TPU and the working set fits VMEM."""
+def fused_gpf_available(
+    n: int,
+    d: int,
+    platform: str | None = None,
+    n_devices: int | None = None,
+) -> bool:
+    """Use the kernel on a SINGLE-device TPU process when the working set
+    fits VMEM.
+
+    The single-device requirement mirrors ``models.swin._single_tpu``:
+    GSPMD cannot auto-partition ``pallas_call``, so a sharded multi-chip jit
+    must take the pure-XLA fallback (or wrap the step in ``shard_map`` and
+    call the kernel explicitly).  Without this check a real >1-chip TPU run
+    would trace the kernel inside a GSPMD-partitioned program and fail at
+    compile time (the capability the reference's own spec flags,
+    /root/reference/docs/spec.md:199-202).
+    """
     if platform is None:
         platform = jax.default_backend()
-    if platform not in ("tpu",):
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if platform not in ("tpu",) or n_devices != 1:
         return False
     vmem_bytes = (2 * n * d + 6 * n * n) * 4
     return vmem_bytes < 12 * 1024 * 1024

@@ -319,9 +319,21 @@ def _bf16_streamed_fits(d: int) -> bool:
     # d <= ~1664; covers D=1536 (swin_large)
 
 
-def newton_schulz_available(d: int, platform: str | None = None) -> bool:
+def newton_schulz_available(
+    d: int,
+    platform: str | None = None,
+    n_devices: int | None = None,
+) -> bool:
+    """Kernel dispatch gate: single-device TPU process + a fitting variant.
+
+    Single-device because GSPMD cannot auto-partition ``pallas_call`` — a
+    sharded multi-chip jit must use the XLA Newton–Schulz fallback (same
+    rule as ``models.swin._single_tpu`` and ``fused_gpf_available``).
+    """
     if platform is None:
         platform = jax.default_backend()
-    if platform not in ("tpu",):
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if platform not in ("tpu",) or n_devices != 1:
         return False
     return _fp32_fits(d) or _bf16_resident_fits(d) or _bf16_streamed_fits(d)
