@@ -84,9 +84,42 @@ class PatchEmbed(nn.Module):
         return x.reshape(b, h * w, d)
 
 
+def _resolve_attn_path(mode: str, t: int, c: int, num_heads: int) -> str:
+    """Pick the ViT attention implementation: 'window' (the fused
+    whole-[T,T] kernel, T <= ~200), 'tiled' (q-tiled flash for long
+    sequences, e.g. T=785 at 448 inputs), or 'none' (XLA fallback).
+
+    Same dispatch rules as swin._use_attn_kernel: 'auto' only engages
+    kernels on a single-device TPU process; 'on' forces whichever kernel
+    supports the shape and raises when neither does.
+    """
+    from ..ops.pallas.flash_attention import flash_attention_tiled_available
+    from ..ops.pallas.window_attention import window_attention_available
+
+    from .swin import _single_tpu
+
+    if mode == "off":
+        return "none"
+    if mode == "on":
+        if window_attention_available(t, c, num_heads):
+            return "window"
+        if flash_attention_tiled_available(t, c, num_heads, platform="tpu"):
+            return "tiled"
+        raise ValueError(
+            "attn_kernel='on' requested but neither attention kernel "
+            f"supports this shape (T={t}, C={c}, heads={num_heads})"
+        )
+    if mode == "auto" and _single_tpu():
+        if window_attention_available(t, c, num_heads):
+            return "window"
+        if flash_attention_tiled_available(t, c, num_heads):
+            return "tiled"
+    return "none"
+
+
 class Attention(nn.Module):
     num_heads: int
-    use_kernel: bool = False
+    kernel_path: str = "none"  # 'none' | 'window' | 'tiled'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -94,7 +127,15 @@ class Attention(nn.Module):
         b, n, d = x.shape
         head_dim = d // self.num_heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
-        if self.use_kernel:
+        if self.kernel_path == "tiled":
+            # q-tiled flash kernel: long sequences (ViT at 448: T=785)
+            from ego_moment_cle_vit_tpu.ops.pallas.flash_attention import (
+                flash_attention_tiled,
+            )
+
+            out = flash_attention_tiled(qkv, self.num_heads)
+            return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+        if self.kernel_path == "window":
             # same fused VMEM-resident kernel as Swin (W=1, zero bias/mask):
             # the [B, H, N, N] logits never touch HBM, and its flash-style
             # custom VJP replaces the attn remat policy
@@ -144,12 +185,10 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        from .swin import _use_attn_kernel
-
-        use_kernel = _use_attn_kernel(
+        kernel_path = _resolve_attn_path(
             self.attn_kernel, x.shape[1], d, self.num_heads
         )
-        if self.remat == "attn" and not use_kernel:
+        if self.remat == "attn" and kernel_path == "none":
             # remat the [B, H, N, N] logits/probs only (see swin.py)
             Attn = nn.remat(
                 Attention,
@@ -160,7 +199,7 @@ class TransformerBlock(nn.Module):
         else:
             Attn = Attention
         x = x + Attn(
-            self.num_heads, use_kernel=use_kernel, dtype=self.dtype, name="attn"
+            self.num_heads, kernel_path=kernel_path, dtype=self.dtype, name="attn"
         )(y)
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)

@@ -14,6 +14,7 @@ are used unconditionally.
 from .gpf import fused_gpf_pallas, fused_gpf_available
 from .newton_schulz import newton_schulz_isqrt_pallas, newton_schulz_available
 from .window_attention import flash_window_attention, window_attention_available
+from .flash_attention import flash_attention_tiled, flash_attention_tiled_available
 
 __all__ = [
     "fused_gpf_pallas",
@@ -22,4 +23,6 @@ __all__ = [
     "newton_schulz_available",
     "flash_window_attention",
     "window_attention_available",
+    "flash_attention_tiled",
+    "flash_attention_tiled_available",
 ]

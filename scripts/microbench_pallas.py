@@ -216,3 +216,48 @@ if __name__ == "__main__":
             f"{tg_p:7.3f} ms ({tg_x / tg_p:4.2f}x)  meandiff {diff:.2e}",
             flush=True,
         )
+
+    # q-tiled flash attention: long-sequence ViT shapes the whole-[T,T]
+    # window kernel cannot hold (T=785 = ViT-L/16 at 448, BASELINE
+    # configs[4]) vs the XLA einsum/softmax chain
+    from ego_moment_cle_vit_tpu.ops.pallas import flash_attention_tiled
+
+    def fa_xla(qkv, h):
+        b_, n_, c3 = qkv.shape
+        c_ = c3 // 3
+        d_ = c_ // h
+        q, k, v = [
+            qkv[..., i * c_ : (i + 1) * c_]
+            .astype(jnp.float32)
+            .reshape(b_, n_, h, d_)
+            for i in range(3)
+        ]
+        logits = jnp.einsum("bthd,bshd->bhts", q * d_**-0.5, k)
+        p = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bhts,bshd->bthd", p, v).reshape(b_, n_, c_)
+        return out.astype(qkv.dtype)
+
+    for tag, b, n, c, h in (
+        ("vit224", 64, 197, 768, 12),
+        ("vitL448", 8, 785, 1024, 16),
+    ):
+        qkv = jnp.asarray(
+            rng.standard_normal((b, n, 3 * c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        f_x = jax.jit(lambda q: jnp.sum(fa_xla(q, h).astype(jnp.float32)))
+        f_p = jax.jit(
+            lambda q: jnp.sum(flash_attention_tiled(q, h).astype(jnp.float32))
+        )
+        t_x = timeit_scalar(f_x, qkv)
+        t_p = timeit_scalar(f_p, qkv)
+        g_x = jax.jit(jax.grad(lambda q: f_x(q).astype(jnp.float32)))
+        g_p = jax.jit(jax.grad(lambda q: f_p(q).astype(jnp.float32)))
+        tg_x = timeit_scalar(lambda q: jnp.sum(g_x(q).astype(jnp.float32)), qkv)
+        tg_p = timeit_scalar(lambda q: jnp.sum(g_p(q).astype(jnp.float32)), qkv)
+        diff = float(jnp.abs(f_x(qkv) - f_p(qkv))) / (b * n * c)
+        print(
+            f"FLASHTILED {tag} B{b} T{n} C{c} H{h}: fwd xla {t_x:7.3f} ms  pallas "
+            f"{t_p:7.3f} ms ({t_x / t_p:4.2f}x) | f+b xla {tg_x:7.3f} ms  pallas "
+            f"{tg_p:7.3f} ms ({tg_x / tg_p:4.2f}x)  meandiff {diff:.2e}",
+            flush=True,
+        )
