@@ -32,6 +32,8 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
     flash_window_attention,
+    flash_window_attention_spatial,
+    spatial_window_attention_available,
     window_attention_available,
 )
 from ego_moment_cle_vit_tpu.ops.pallas.swin_block import (
@@ -50,6 +52,45 @@ def _single_tpu() -> bool:
 # validated; until then 'auto' uses the attention-only kernel and 'fused'
 # must be requested explicitly
 _FUSED_IN_AUTO = False
+
+# spatial-layout attention kernel (window partition/reverse absorbed into
+# the kernel's block DMA — ops/pallas/window_attention.py spatial variant).
+# True: 'auto' prefers it over the packed-layout kernel where it wins.
+_SPATIAL_IN_AUTO = True
+
+# Mosaic's block-shape rule forces the spatial tile to a FULL row of
+# windows (pack = Wp/ws), and the kernel computes dense [T, T] logits over
+# the packed row — cross-window entries are masked, i.e. wasted MXU work.
+# At pack <= 2 that waste matches the packed-layout kernel's own raster
+# pack, so the DMA savings are pure profit (stage2's 18 blocks + stage3);
+# at stage0/1 (pack 8/4) the 4x/2x extra attention FLOPs eat the backward's
+# HBM win (measured: fwd 79.3 vs 89 ms but f+b 196.3 vs 197.5 at dual-view
+# 128 with spatial forced everywhere).  'auto' therefore only picks it at
+# pack <= _SPATIAL_MAX_PACK; 'spatial' forces it everywhere that fits.
+_SPATIAL_MAX_PACK = 2
+
+
+def _use_spatial_kernel(mode: str, hp: int, wp: int, ws: int, c: int,
+                        num_heads: int, pack: int) -> bool:
+    """'spatial' forces the spatial-layout kernel; 'auto' picks it on a
+    single-device TPU where it measured faster (small packs)."""
+    if mode == "spatial":
+        if not spatial_window_attention_available(hp, wp, ws, c, num_heads, pack):
+            raise ValueError(
+                "attn_kernel='spatial' requested but the spatial kernel does "
+                f"not support this block (hp={hp}, wp={wp}, ws={ws}, C={c}, "
+                f"heads={num_heads}, pack={pack}): C must be a multiple of "
+                "128 and of num_heads, Wp a multiple of pack*ws, and the "
+                "tile must fit VMEM"
+            )
+        return True
+    if mode != "auto" or not _SPATIAL_IN_AUTO:
+        return False
+    return (
+        pack <= _SPATIAL_MAX_PACK
+        and _single_tpu()
+        and spatial_window_attention_available(hp, wp, ws, c, num_heads, pack)
+    )
 
 
 def _use_fused_block(mode: str, hp: int, wp: int, ws: int, c: int,
@@ -82,6 +123,16 @@ def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
     if mode == "off":
         return False
     if mode == "on":
+        # fail loudly on non-qualifying shapes instead of handing Mosaic an
+        # unsupported problem (opaque compile error / silent interpret run)
+        if not window_attention_available(t, c, num_heads):
+            raise ValueError(
+                "attn_kernel='on' requested but the flash window-attention "
+                f"kernel does not support this block (T={t}, C={c}, "
+                f"heads={num_heads}): C must be a multiple of 128 and of "
+                "num_heads and the per-window tile must fit VMEM; use "
+                "'auto' to fall back to the XLA path on such blocks"
+            )
         return True
     return (
         mode == "auto"
@@ -432,8 +483,52 @@ class SwinBlock(nn.Module):
         use_fused = _use_fused_block(
             self.attn_kernel, hp, wp, ws, c, self.num_heads
         )
+        # full row of windows per grid cell: the qkv block's width tile must
+        # equal Wp (Mosaic block-shape rule — see
+        # spatial_window_attention_available); also shrinks the grid
+        spatial_pack = wp // ws
+        use_spatial = not use_fused and _use_spatial_kernel(
+            self.attn_kernel, hp, wp, ws, c, self.num_heads, spatial_pack
+        )
 
-        if use_fused:
+        if use_spatial:
+            # Spatial-layout kernel: LN1 + qkv + proj stay XLA (they fuse
+            # into adjacent ops); the window partition AND reverse transposes
+            # are absorbed by the kernel's block DMA, saving 4 HBM sweeps of
+            # the activation per block vs the packed-layout path.  Parameter
+            # tree matches WindowAttention exactly (attn/{qkv,proj,
+            # relative_position_bias_table}).
+            shortcut = x
+            xn = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1"
+            )(x)
+            wqkv, bqkv, wproj, bproj, table = _AttnParams(
+                c, self.num_heads, ws, name="attn"
+            )()
+            dt = self.dtype
+            xm = xn.reshape(b, h, w, c)
+            if hp != h or wp != w:
+                xm = jnp.pad(xm, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            if shift > 0:
+                xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+            qkv = xm.astype(dt) @ wqkv.astype(dt) + bqkv.astype(dt)
+            t = spatial_pack * ws * ws
+            bias_bd = _build_bias_bd(table, ws, spatial_pack, self.num_heads)
+            madd = (
+                _blockdiag_mask(mask, spatial_pack)
+                if mask is not None
+                else jnp.zeros((1, t, t), jnp.float32)
+            )
+            om = flash_window_attention_spatial(
+                qkv, bias_bd, madd, self.num_heads, ws, spatial_pack
+            )
+            om = om.astype(dt) @ wproj.astype(dt) + bproj.astype(dt)
+            if shift > 0:
+                om = jnp.roll(om, shift=(shift, shift), axis=(1, 2))
+            if hp != h or wp != w:
+                om = om[:, :h, :w]
+            x = shortcut + om.reshape(b, n, c)
+        elif use_fused:
             # One VMEM pass: LN1 + qkv + window attention + proj + residual
             # (ops/pallas/swin_block.py).  Roll/pad stay outside: rolls
             # commute with the residual add, pad rows are sliced off.

@@ -257,3 +257,249 @@ def _bwd(num_heads, interpret, res, dout):
 
 
 flash_window_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Spatial-layout variant: the window partition/reverse happens IN THE BLOCK
+# DMA instead of as XLA transpose copies.
+# ---------------------------------------------------------------------------
+#
+# The XLA path around the packed kernel spends 4 full HBM sweeps of the
+# activation per block on `_window_partition` / `_window_reverse` transposes
+# (models/swin.py:243-257) — pure data movement.  Here the kernel reads the
+# qkv tensor in its natural spatial layout [B, Hp, Wp, 3C]: each grid cell's
+# BlockSpec fetches a [ws, pack*ws] spatial tile (= ``pack`` horizontally
+# adjacent windows), and the flatten to packed attention tokens happens on
+# VMEM-resident data.  The output is written back spatially the same way, so
+# partition+reverse vanish from HBM entirely.  This is the "narrower fusion"
+# redesign that docs/PERFORMANCE.md prescribes after the full half-block
+# fusion measured slower: attention stays the only Mosaic matmul, every
+# projection stays in XLA.
+
+
+def _flatten_windows(x, ws: int, p: int):
+    """[NB, ws, p*ws, F] -> [NB, p*ws*ws, F] (window-major token order)."""
+    nb = x.shape[0]
+    f = x.shape[-1]
+    parts = [
+        x[:, :, j * ws : (j + 1) * ws, :].reshape(nb, ws * ws, f)
+        for j in range(p)
+    ]
+    return parts[0] if p == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _unflatten_windows(t, ws: int, p: int):
+    """[NB, p*ws*ws, F] -> [NB, ws, p*ws, F]."""
+    nb = t.shape[0]
+    f = t.shape[-1]
+    n = ws * ws
+    parts = [
+        t[:, j * n : (j + 1) * n, :].reshape(nb, ws, ws, f) for j in range(p)
+    ]
+    return parts[0] if p == 1 else jnp.concatenate(parts, axis=2)
+
+
+def _fwd_kernel_spatial(qkv_ref, bias_ref, mask_ref, out_ref, *, nheads,
+                        scale, ws, pack):
+    nb = qkv_ref.shape[0]
+    c3 = qkv_ref.shape[-1]
+    c = c3 // 3
+    d = c // nheads
+    t = pack * ws * ws
+    x = _flatten_windows(qkv_ref[...], ws, pack)  # [NB, T, 3C]
+    mask = mask_ref[0][None]
+    outs = []
+    for h in range(nheads):
+        q, k, v = _head_slices(x, c, d, h)
+        logits = _bdot(q * scale, k, 2, 2)
+        logits = logits + bias_ref[h % bias_ref.shape[0]][None] + mask
+        probs = jax.nn.softmax(logits, axis=-1)
+        outs.append(_bdot(probs, v, 2, 1).astype(out_ref.dtype))
+    out = jnp.concatenate(outs, axis=-1)  # [NB, T, C]
+    out_ref[...] = _unflatten_windows(out, ws, pack)
+
+
+def _bwd_kernel_spatial(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref,
+                        dbias_ref, *, nheads, scale, ws, pack):
+    nb = qkv_ref.shape[0]
+    c3 = qkv_ref.shape[-1]
+    c = c3 // 3
+    c_out = c
+    d = c // nheads
+    x = _flatten_windows(qkv_ref[...], ws, pack)  # [NB, T, 3C]
+    doh = _flatten_windows(do_ref[...], ws, pack)  # [NB, T, C]
+    mask = mask_ref[0][None]
+
+    first = jnp.logical_and(
+        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+        pl.program_id(2) == 0,
+    )
+
+    @pl.when(first)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    dqs, dks, dvs = [], [], []
+    for h in range(nheads):
+        q, k, v = _head_slices(x, c, d, h)
+        qs = q * scale
+        logits = _bdot(qs, k, 2, 2) + bias_ref[h % bias_ref.shape[0]][None] + mask
+        probs = jax.nn.softmax(logits, axis=-1)
+        do = doh[:, :, h * d : (h + 1) * d].astype(jnp.float32)
+        dv = _bdot(probs, do, 1, 1)
+        dp = _bdot(do, v, 2, 2)
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        dbias_ref[h % dbias_ref.shape[0]] += jnp.sum(ds, axis=0)
+        dq = scale * _bdot(ds, k, 2, 1)
+        dk = _bdot(ds, qs, 1, 1)
+        odt = dqkv_ref.dtype
+        dqs.append(dq.astype(odt))
+        dks.append(dk.astype(odt))
+        dvs.append(dv.astype(odt))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [NB, T, 3C]
+    dqkv_ref[...] = _unflatten_windows(dqkv, ws, pack)
+
+
+def _pick_nb_spatial(b: int, t: int, c: int, h: int, backward: bool) -> int:
+    for nb in (8, 4, 2, 1):
+        if b % nb == 0 and _vmem_estimate(nb, t, c, h, backward) <= 40 * 1024 * 1024:
+            return nb
+    return 1
+
+
+def spatial_window_attention_available(
+    hp: int, wp: int, ws: int, c: int, num_heads: int, pack: int
+) -> bool:
+    """Spatial-layout dispatch: same VMEM/lane rules as the packed kernel
+    plus a Mosaic-legal spatial tile.
+
+    Mosaic requires the last two dims of a block shape to be divisible by
+    (8, 128) or EQUAL to the full array dims; the qkv block is
+    [nb, ws, pack*ws, 3C], so the width tile ``pack*ws`` must equal Wp or
+    be a multiple of 8 (with ws=7 that means pack covering the full row —
+    the caller picks ``pack = Wp // ws``)."""
+    if hp % ws != 0 or wp % (pack * ws) != 0:
+        return False
+    if pack * ws != wp and (pack * ws) % 8 != 0:
+        return False
+    return window_attention_available(pack * ws * ws, c, num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_window_attention_spatial(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_heads: int,
+    window_size: int,
+    pack: int = 1,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Windowed MHSA straight from the spatial qkv map.
+
+    Args:
+      qkv:  [B, Hp, Wp, 3C] — qkv projection output in image layout
+            (already shifted/padded by the caller when applicable).
+      bias: [H, T, T] fp32 packed relative-position bias (T = pack*ws*ws).
+      mask: [nW/pack, T, T] or [1, T, T] fp32 additive mask.
+      num_heads / window_size / pack: attention geometry; Hp % ws == 0 and
+            Wp % (pack*ws) == 0 (see ``spatial_window_attention_available``).
+
+    Returns: [B, Hp, Wp, C] in qkv.dtype — window partition AND reverse are
+    absorbed into the kernel's block DMA.
+    """
+    out, _ = _fwd_spatial(qkv, bias, mask, num_heads, window_size, pack, interpret)
+    return out
+
+
+def _spatial_mask_spec(t: int, w_mask: int, nwxg: int):
+    if w_mask == 1:
+        return pl.BlockSpec((1, t, t), lambda bb, wy, wxg: (0, 0, 0))
+    return pl.BlockSpec((1, t, t), lambda bb, wy, wxg: (wy * nwxg + wxg, 0, 0))
+
+
+def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, interpret):
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    t = pack * ws * ws
+    scale = (c // num_heads) ** -0.5
+    nwy = hp // ws
+    nwxg = wp // (pack * ws)
+    nb = _pick_nb_spatial(b, t, c, num_heads, backward=False)
+    interp = _interpret_default() if interpret is None else interpret
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_spatial, nheads=num_heads, scale=scale, ws=ws, pack=pack
+        ),
+        grid=(b // nb, nwy, nwxg),
+        in_specs=[
+            pl.BlockSpec(
+                (nb, ws, pack * ws, c3), lambda bb, wy, wxg: (bb, wy, wxg, 0)
+            ),
+            pl.BlockSpec(
+                (bias.shape[0], t, t), lambda bb, wy, wxg: (0, 0, 0)
+            ),
+            _spatial_mask_spec(t, mask.shape[0], nwxg),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, ws, pack * ws, c), lambda bb, wy, wxg: (bb, wy, wxg, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interp,
+    )(qkv, bias, mask)
+    return out, (qkv, bias, mask)
+
+
+def _bwd_spatial(num_heads, ws, pack, interpret, res, dout):
+    qkv, bias, mask = res
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    t = pack * ws * ws
+    scale = (c // num_heads) ** -0.5
+    nwy = hp // ws
+    nwxg = wp // (pack * ws)
+    nb = _pick_nb_spatial(b, t, c, num_heads, backward=True)
+    interp = _interpret_default() if interpret is None else interpret
+    dqkv, dbias = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_spatial, nheads=num_heads, scale=scale, ws=ws, pack=pack
+        ),
+        grid=(b // nb, nwy, nwxg),
+        in_specs=[
+            pl.BlockSpec(
+                (nb, ws, pack * ws, c3), lambda bb, wy, wxg: (bb, wy, wxg, 0)
+            ),
+            pl.BlockSpec(
+                (bias.shape[0], t, t), lambda bb, wy, wxg: (0, 0, 0)
+            ),
+            _spatial_mask_spec(t, mask.shape[0], nwxg),
+            pl.BlockSpec(
+                (nb, ws, pack * ws, c), lambda bb, wy, wxg: (bb, wy, wxg, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (nb, ws, pack * ws, c3), lambda bb, wy, wxg: (bb, wy, wxg, 0)
+            ),
+            pl.BlockSpec(
+                (bias.shape[0], t, t), lambda bb, wy, wxg: (0, 0, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, wp, c3), qkv.dtype),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interp,
+    )(qkv, bias, mask, dout)
+    return dqkv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
+
+
+flash_window_attention_spatial.defvjp(_fwd_spatial, _bwd_spatial)

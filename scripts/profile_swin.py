@@ -28,6 +28,8 @@ def main() -> int:
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--backbone", default="swin_base_patch4_window7_224")
     parser.add_argument("--remat", default="attn")
+    parser.add_argument("--variants", default=None,
+                        help="comma list: full,spatial,noshift,pack1")
     args = parser.parse_args()
 
     import jax
@@ -65,15 +67,23 @@ def main() -> int:
     # --- variants ------------------------------------------------------
     variants = {
         "full": dict(),
+        "spatial": dict(attn_kernel="spatial"),
         "noshift": dict(noshift=True),
         "pack1": dict(pack1=True),
     }
+    if args.variants:
+        wanted = {v.strip() for v in args.variants.split(",")}
+        variants = {k: v for k, v in variants.items() if k in wanted}
 
     for name, flags in variants.items():
         # patch SwinBlock behavior through module-level globals
         swin_mod._PROFILE_NOSHIFT = flags.get("noshift", False)
         swin_mod._PROFILE_PACK1 = flags.get("pack1", False)
-        cfg = dataclasses.replace(base_cfg, remat=args.remat)
+        cfg = dataclasses.replace(
+            base_cfg,
+            remat=args.remat,
+            attn_kernel=flags.get("attn_kernel", "auto"),
+        )
         model = swin_mod.Swin(cfg, dtype=jnp.bfloat16)
         variables = model.init(jax.random.PRNGKey(0), images[:2])
 
@@ -100,10 +110,19 @@ def main() -> int:
     swin_mod._PROFILE_NOSHIFT = False
     swin_mod._PROFILE_PACK1 = False
 
-    full = results["full/fwd+bwd"]
-    print(f"\nroll/shift-mask marginal: {full - results['noshift/fwd+bwd']:.2f} ms")
-    print(f"window-packing win:       {results['pack1/fwd+bwd'] - full:.2f} ms")
-    print(f"bwd share of full:        {full - results['full/fwd']:.2f} ms")
+    if "full/fwd+bwd" in results:
+        full = results["full/fwd+bwd"]
+        if "noshift/fwd+bwd" in results:
+            print(f"\nroll/shift-mask marginal: "
+                  f"{full - results['noshift/fwd+bwd']:.2f} ms")
+        if "pack1/fwd+bwd" in results:
+            print(f"window-packing win:       "
+                  f"{results['pack1/fwd+bwd'] - full:.2f} ms")
+        if "spatial/fwd+bwd" in results:
+            print(f"spatial-kernel marginal:  "
+                  f"{full - results['spatial/fwd+bwd']:.2f} ms "
+                  f"(positive = spatial wins)")
+        print(f"bwd share of full:        {full - results['full/fwd']:.2f} ms")
     return 0
 
 

@@ -63,6 +63,59 @@ def test_gpf_coeff_inits(rng, init):
         assert float(alpha[1, 1]) == pytest.approx(0.5)
 
 
+def test_attn_kernel_on_rejects_unsupported_shapes():
+    """attn_kernel='on' must raise a descriptive error for shapes the flash
+    kernel cannot compile (mirrors the 'fused' mode; ADVICE r2)."""
+    from ego_moment_cle_vit_tpu.models.swin import _use_attn_kernel
+
+    with pytest.raises(ValueError, match="attn_kernel='on'"):
+        _use_attn_kernel("on", 49, 192, 3)  # C=192 not a multiple of 128
+    # qualifying shape: honored without raising
+    assert _use_attn_kernel("on", 98, 512, 16) is True
+    assert _use_attn_kernel("off", 98, 512, 16) is False
+
+
+def test_adaptive_gpf_spatial_variant(rng):
+    """'spatial' learns a per-token-position coefficient table (the variant
+    the reference declares but stubs, gpf_kernel.py:206-217)."""
+    tokens_a = jnp.asarray(rng.standard_normal((B, 16, 24)).astype(np.float32))
+    tokens_p = jnp.asarray(rng.standard_normal((B, 16, 24)).astype(np.float32))
+    gpf = AdaptiveGraphPolynomialFusion(adaptive_type="spatial")
+    params = gpf.init(jax.random.PRNGKey(0), tokens_a, tokens_p)
+    assert params["params"]["spatial_coeffs"].shape == (16, 3, 3)
+    g = gpf.apply(params, tokens_a, tokens_p)
+    assert g.shape == (B, 16, 16)
+    gn = np.asarray(g)
+    np.testing.assert_allclose(gn, gn.transpose(0, 2, 1), atol=1e-5)
+    assert gn.min() >= 0.0
+
+    # with a zero delta table the spatial variant must equal the base GPF
+    base = GraphPolynomialFusion()
+    base_params = {"params": {"alpha_coeffs": params["params"]["alpha_coeffs"]}}
+    g_base = base.apply(base_params, tokens_a, tokens_p)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_base), atol=1e-5)
+
+    # a nonzero delta on one row must change the fused graph
+    delta = params["params"]["spatial_coeffs"].at[3].add(5.0)
+    params2 = {"params": {**params["params"], "spatial_coeffs": delta}}
+    g2 = gpf.apply(params2, tokens_a, tokens_p)
+    assert not np.allclose(np.asarray(g2), np.asarray(g))
+
+    # gradients flow into the spatial table
+    def loss(p):
+        return jnp.sum(gpf.apply({"params": p}, tokens_a, tokens_p) ** 2)
+
+    grads = jax.grad(loss)(params2["params"])
+    assert float(jnp.abs(grads["spatial_coeffs"]).sum()) > 0
+
+
+def test_adaptive_gpf_unknown_type_raises(rng):
+    tokens = jnp.zeros((1, 4, 8), jnp.float32)
+    gpf = AdaptiveGraphPolynomialFusion(adaptive_type="nope")
+    with pytest.raises(ValueError, match="adaptive_type"):
+        gpf.init(jax.random.PRNGKey(0), tokens, tokens)
+
+
 def test_adaptive_gpf_attention_variant(rng):
     tokens_a = jnp.asarray(rng.standard_normal((B, 16, 24)).astype(np.float32))
     tokens_p = jnp.asarray(rng.standard_normal((B, 16, 24)).astype(np.float32))
@@ -276,6 +329,16 @@ def test_model_lambda_align_zero_drops_term(rng):
     variables = model.init(jax.random.PRNGKey(0), anchor, anchor, labels)
     out = model.apply(variables, anchor, anchor, labels)
     assert "loss_align" not in out["loss_dict"]
+
+
+def test_model_lambda_triplet_zero_drops_term(rng):
+    model = _tiny_model(lambda_triplet=0.0)
+    anchor = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 10, (B,)))
+    variables = model.init(jax.random.PRNGKey(0), anchor, anchor, labels)
+    out = model.apply(variables, anchor, anchor, labels)
+    assert "loss_triplet" not in out["loss_dict"]
+    assert np.isfinite(float(out["loss"]))
 
 
 def test_model_gradients_cover_all_params(rng):

@@ -120,15 +120,36 @@ def test_availability_predicates():
     # CPU platform -> never
     assert not fused_gpf_available(196, 768, platform="cpu")
     assert not newton_schulz_available(768, platform="cpu")
-    # TPU: sized by VMEM budget
-    assert fused_gpf_available(196, 1536, platform="tpu")
-    assert newton_schulz_available(768, platform="tpu")
+    # TPU, single device: sized by VMEM budget
+    assert fused_gpf_available(196, 1536, platform="tpu", n_devices=1)
+    assert newton_schulz_available(768, platform="tpu", n_devices=1)
     # flagship D=1024 now covered by the bf16-storage variant
-    assert newton_schulz_available(1024, platform="tpu")
+    assert newton_schulz_available(1024, platform="tpu", n_devices=1)
     # swin_large D=1536 covered by the streamed two-buffer variant
-    assert newton_schulz_available(1536, platform="tpu")
+    assert newton_schulz_available(1536, platform="tpu", n_devices=1)
     # far-larger D still falls back to XLA
-    assert not newton_schulz_available(4096, platform="tpu")
+    assert not newton_schulz_available(4096, platform="tpu", n_devices=1)
+
+
+def test_availability_gates_multi_device():
+    """GSPMD cannot partition pallas_call: on a >1-device TPU process every
+    kernel gate must choose the XLA fallback (same rule as the attention
+    kernel's _single_tpu check, models/swin.py).  Regression for the
+    multi-chip dispatch hole flagged in VERDICT round 2."""
+    from ego_moment_cle_vit_tpu.ops.pallas import (
+        fused_gpf_available,
+        newton_schulz_available,
+    )
+
+    # shapes that DO qualify on one device must be refused on a mesh
+    assert not fused_gpf_available(196, 1536, platform="tpu", n_devices=8)
+    assert not newton_schulz_available(768, platform="tpu", n_devices=8)
+    assert not newton_schulz_available(1536, platform="tpu", n_devices=2)
+
+    # defaulted n_devices reads the live process (8 virtual CPU devices
+    # here): combined with platform="tpu" it must still refuse
+    assert not fused_gpf_available(196, 1536, platform="tpu")
+    assert not newton_schulz_available(768, platform="tpu")
 
     from ego_moment_cle_vit_tpu.ops.pallas import window_attention_available
 
@@ -297,3 +318,122 @@ def test_swin_fused_block_kernel_matches_xla_path():
             jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+
+def _ref_plain_attention(qkv, num_heads):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    x = qkv.reshape(b, n, 3, num_heads, d).astype(jnp.float32)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # [B,N,H,d]
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * d**-0.5, k)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+    return out.reshape(b, n, c).astype(qkv.dtype)
+
+
+@pytest.mark.parametrize("n,c,h", [(197, 256, 4), (785, 128, 2)])
+def test_flash_attention_tiled_parity(n, c, h):
+    """The q-tiled flash kernel (interpret mode on CPU) matches plain MHSA
+    for both a ViT-224 shape and the long T=785 (448-input) shape —
+    forward AND input gradients (flash-style custom VJP)."""
+    from ego_moment_cle_vit_tpu.ops.pallas.flash_attention import (
+        flash_attention_tiled,
+    )
+
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((2, n, 3 * c)).astype(np.float32))
+    got = flash_attention_tiled(qkv, h)
+    want = _ref_plain_attention(qkv, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss(fn):
+        return lambda x: jnp.sum(jnp.sin(fn(x, h) * 0.3))
+
+    gk = jax.grad(loss(flash_attention_tiled))(qkv)
+    gr = jax.grad(loss(_ref_plain_attention))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=2e-4)
+
+
+def test_flash_attention_tiled_availability():
+    from ego_moment_cle_vit_tpu.ops.pallas import flash_attention_tiled_available
+
+    # the BASELINE configs[4] stretch shape: ViT-L/16 at 448 -> T=785
+    assert flash_attention_tiled_available(785, 1024, 16, platform="tpu")
+    # ViT-224 shapes qualify too (window kernel is preferred by dispatch)
+    assert flash_attention_tiled_available(197, 768, 12, platform="tpu")
+    # head dim not sublane-aligned -> refuse
+    assert not flash_attention_tiled_available(197, 192, 16, platform="tpu")
+    # non-TPU -> refuse
+    assert not flash_attention_tiled_available(785, 1024, 16, platform="cpu")
+
+
+def test_vit_resolve_attn_path_dispatch():
+    from ego_moment_cle_vit_tpu.models.vit import _resolve_attn_path
+
+    # 'on' prefers the window kernel where it fits, tiled for long T
+    assert _resolve_attn_path("on", 197, 256, 4) == "window"
+    assert _resolve_attn_path("on", 785, 1024, 16) == "tiled"
+    assert _resolve_attn_path("off", 197, 256, 4) == "none"
+    with pytest.raises(ValueError, match="neither attention kernel"):
+        _resolve_attn_path("on", 197, 68, 17)  # d=4, not sublane-aligned
+
+
+def test_vit_tiled_kernel_matches_xla_at_448_shape():
+    """Full ViT block path with the tiled kernel vs the XLA path at a long
+    sequence (reduced width, T=785 real token count)."""
+    from ego_moment_cle_vit_tpu.models.vit import ViT, ViTConfig
+
+    cfg = dict(
+        img_size=448, patch_size=16, embed_dim=64, depth=1, num_heads=2
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 448, 448, 3), jnp.float32)
+    m_off = ViT(ViTConfig(attn_kernel="off", **cfg))
+    m_on = ViT(ViTConfig(attn_kernel="on", **cfg))
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    y0 = m_off.apply(params, x)
+    y1 = m_on.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
+    g0 = jax.grad(lambda p: jnp.mean(jnp.sin(m_off.apply(p, x))))(params)
+    g1 = jax.grad(lambda p: jnp.mean(jnp.sin(m_on.apply(p, x))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_swin_spatial_kernel_path_matches_xla_path():
+    """The spatial-layout kernel (partition/reverse absorbed into block DMA)
+    must match the XLA path exactly — forward and every parameter gradient,
+    including shifted blocks (mask routing via the grid index map)."""
+    from ego_moment_cle_vit_tpu.models.swin import Swin, SwinConfig
+
+    kw = dict(img_size=56, embed_dim=128, depths=(2,), num_heads=(4,))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3), jnp.float32)
+    m_off = Swin(SwinConfig(attn_kernel="off", **kw))
+    m_sp = Swin(SwinConfig(attn_kernel="spatial", **kw))
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    y0 = m_off.apply(params, x)
+    y1 = m_sp.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
+    g0 = jax.grad(lambda p: jnp.sum(jnp.sin(m_off.apply(p, x))))(params)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_sp.apply(p, x))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_spatial_kernel_availability_and_forcing_errors():
+    from ego_moment_cle_vit_tpu.models.swin import _use_spatial_kernel
+    from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
+        spatial_window_attention_available,
+    )
+
+    # every Swin-Base 224 stage qualifies at full-row pack (pack*ws == Wp,
+    # the Mosaic block-shape rule — width tile must equal Wp or be %8)
+    assert spatial_window_attention_available(56, 56, 7, 128, 4, 8)
+    assert spatial_window_attention_available(14, 14, 7, 512, 16, 2)
+    assert spatial_window_attention_available(7, 7, 7, 1024, 32, 1)
+    # partial-row tile 2*7=14 of Wp=56: neither ==Wp nor %8 -> Mosaic-illegal
+    assert not spatial_window_attention_available(56, 56, 7, 128, 4, 2)
+    # Wp not a multiple of pack*ws -> refuse
+    assert not spatial_window_attention_available(14, 21, 7, 512, 16, 2)
+    with pytest.raises(ValueError, match="attn_kernel='spatial'"):
+        _use_spatial_kernel("spatial", 14, 14, 7, 192, 3, 2)  # C=192
