@@ -103,9 +103,12 @@ class AdaptiveGraphPolynomialFusion(nn.Module):
 
     The reference declares 'global' / 'spatial' / 'attention' variants but
     only 'global' is implemented (its forward falls through to the base class
-    for the rest; gpf_kernel.py:211-217).  Here 'global' matches the base
-    module, and 'attention' is actually implemented: per-sample coefficient
-    modulation from the pooled token statistics of both views.
+    for the rest; gpf_kernel.py:211-217).  Here all three are real:
+    'global' matches the base module; 'attention' modulates the coefficients
+    per sample from the pooled token statistics of both views; 'spatial'
+    learns a per-token-position coefficient delta table (the "separate
+    coefficients for each spatial position" the reference's docstring
+    promises, gpf_kernel.py:181-182,206-209).
     """
 
     degree_p: int = 2
@@ -114,7 +117,7 @@ class AdaptiveGraphPolynomialFusion(nn.Module):
     eps: float = 1e-6
     symmetric_enforce: bool = True
     coeff_init: str = "uniform"
-    adaptive_type: str = "global"  # 'global' | 'attention'
+    adaptive_type: str = "global"  # 'global' | 'spatial' | 'attention'
 
     @nn.compact
     def __call__(
@@ -143,5 +146,39 @@ class AdaptiveGraphPolynomialFusion(nn.Module):
             )[0]
             return jax.vmap(fuse)(r_a, r_p, coeffs)
 
+        if self.adaptive_type == "spatial":
+            # Per-token-position coefficients: c_pq(i) = softplus(alpha_pq
+            # + 0.1 * delta[i, pq]) modulates the polynomial along the row
+            # (query-token) axis; the row/column asymmetry this introduces
+            # is folded back by the symmetrize step.  Running Hadamard
+            # powers as in gpf_fuse — no [B, terms, N, N] materialization,
+            # just (P+1)(Q+1) fused multiply-adds with a row-broadcast
+            # coefficient vector.
+            n = tokens_anchor.shape[1]
+            delta = self.param(
+                "spatial_coeffs",
+                nn.initializers.zeros,
+                (n, self.degree_p + 1, self.degree_q + 1),
+            )
+            coeffs = jax.nn.softplus(alpha[None] + 0.1 * delta)  # [N, P+1, Q+1]
+            ra_c = jnp.maximum(r_a, 0.0)
+            rp_c = jnp.maximum(r_p, 0.0)
+            fused = jnp.zeros_like(r_a)
+            ra_pow = jnp.ones_like(r_a)
+            for p in range(self.degree_p + 1):
+                rp_pow = jnp.ones_like(r_p)
+                for q in range(self.degree_q + 1):
+                    fused = fused + coeffs[None, :, None, p, q] * (ra_pow * rp_pow)
+                    rp_pow = rp_pow * (r_p if q == 0 else rp_c)
+                ra_pow = ra_pow * (r_a if p == 0 else ra_c)
+            if self.symmetric_enforce:
+                fused = 0.5 * (fused + jnp.swapaxes(fused, -1, -2))
+            return jnp.maximum(fused, 0.0)
+
+        if self.adaptive_type != "global":
+            raise ValueError(
+                f"Unknown adaptive_type: {self.adaptive_type!r} "
+                "(expected 'global', 'spatial', or 'attention')"
+            )
         coeffs = jax.nn.softplus(alpha)
         return gpf_fuse(r_a, r_p, coeffs, symmetric_enforce=self.symmetric_enforce)

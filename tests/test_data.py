@@ -55,6 +55,104 @@ def test_same_key_reproducible_different_keys_differ(rng):
     assert not np.allclose(np.asarray(a1), np.asarray(a3))
 
 
+def test_color_jitter_per_sample_random_order(rng):
+    """torchvision ColorJitter applies the enabled adjustments in a random
+    order per sample (fn_idx = randperm(4)); ours must sample the order
+    too, not use a fixed chain.  With only brightness+hue enabled the
+    output must equal one of the two possible op orders for that key's
+    factors, and across keys BOTH orders must occur."""
+    from ego_moment_cle_vit_tpu.data.augment import (
+        _adjust_brightness,
+        _adjust_hue,
+        color_jitter,
+    )
+
+    cfg = AugmentConfig(
+        input_size=32, resize_size=48,
+        brightness=0.8, contrast=0.0, saturation=0.0, hue=0.4,
+    )
+    img = jnp.asarray(rng.random((8, 8, 3)).astype(np.float32))
+    seen = set()
+    for seed in range(12):
+        key = jax.random.PRNGKey(seed)
+        kb, kc, ks, kh, korder = jax.random.split(key, 5)
+        fb = jax.random.uniform(kb, (), minval=1 - cfg.brightness,
+                                maxval=1 + cfg.brightness)
+        sh = jax.random.uniform(kh, (), minval=-cfg.hue, maxval=cfg.hue)
+        got = np.asarray(color_jitter(img, key, cfg))
+        b_then_h = np.asarray(_adjust_hue(_adjust_brightness(img, fb), sh))
+        h_then_b = np.asarray(_adjust_brightness(_adjust_hue(img, sh), fb))
+        if np.allclose(got, b_then_h, atol=1e-5):
+            seen.add("bh")
+        elif np.allclose(got, h_then_b, atol=1e-5):
+            seen.add("hb")
+        else:
+            raise AssertionError(f"seed {seed}: output matches neither order")
+    assert seen == {"bh", "hb"}, seen
+
+
+def test_color_jitter_disabled_ops_and_determinism(rng):
+    from ego_moment_cle_vit_tpu.data.augment import color_jitter
+
+    img = jnp.asarray(rng.random((8, 8, 3)).astype(np.float32))
+    off = AugmentConfig(input_size=32, resize_size=48, brightness=0.0,
+                        contrast=0.0, saturation=0.0, hue=0.0)
+    np.testing.assert_allclose(
+        np.asarray(color_jitter(img, jax.random.PRNGKey(0), off)),
+        np.asarray(img),
+    )
+    cfg = AugmentConfig(input_size=32, resize_size=48)
+    a = color_jitter(img, jax.random.PRNGKey(3), cfg)
+    b = color_jitter(img, jax.random.PRNGKey(3), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert a.shape == img.shape
+
+
+def test_color_jitter_matches_sequential_chain_all_four_ops(rng):
+    """The composed-affine implementation must equal the exact sequential
+    per-op chain in the sampled permutation order whenever no pixel
+    saturates mid-chain (the only documented divergence is clamp
+    placement).  Uses a mid-range image and the default (small) jitter
+    strengths so no clamp fires."""
+    from ego_moment_cle_vit_tpu.data.augment import (
+        _adjust_brightness,
+        _adjust_contrast,
+        _adjust_hue,
+        _adjust_saturation,
+        color_jitter,
+    )
+
+    cfg = AugmentConfig(
+        input_size=32, resize_size=48,
+        brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1,
+    )
+    img = jnp.asarray((0.35 + 0.3 * rng.random((8, 8, 3))).astype(np.float32))
+    seq_ops = {
+        0: _adjust_brightness,
+        1: _adjust_contrast,
+        2: _adjust_saturation,
+        3: _adjust_hue,
+    }
+    matched = set()
+    for seed in range(10):
+        key = jax.random.PRNGKey(seed)
+        kb, kc, ks, kh, korder = jax.random.split(key, 5)
+        factors = {
+            0: jax.random.uniform(kb, (), minval=0.8, maxval=1.2),
+            1: jax.random.uniform(kc, (), minval=0.8, maxval=1.2),
+            2: jax.random.uniform(ks, (), minval=0.8, maxval=1.2),
+            3: jax.random.uniform(kh, (), minval=-0.1, maxval=0.1),
+        }
+        perm = np.asarray(jax.random.permutation(korder, 4))
+        ref = img
+        for code in perm:
+            ref = seq_ops[int(code)](ref, factors[int(code)])
+        got = np.asarray(color_jitter(img, key, cfg))
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5)
+        matched.add(tuple(perm.tolist()))
+    assert len(matched) >= 3, f"permutation variety too low: {matched}"
+
+
 def test_anchor_and_positive_views_differ(rng):
     imgs = jnp.asarray(rng.integers(0, 256, (2, 48, 48, 3), dtype=np.uint8))
     anchor, positive = dual_view_train_batch(imgs, jax.random.PRNGKey(0), CFG)
@@ -173,6 +271,26 @@ def test_batch_loader_multihost_sharding_disjoint():
         seen.append(idxs)
     # same epoch, different host -> different batches
     assert seen[0] != seen[1]
+
+
+def test_batch_loader_abandoned_iterator_does_not_wedge():
+    """Abandoning the prefetching generator mid-epoch must release the
+    producer thread promptly (ADVICE r2: the bounded-queue put could block
+    forever once the consumer was gone)."""
+    import threading
+    import time
+
+    ds = SyntheticUFGDataset(num_classes=4, samples_per_class=32,
+                             resize_size=8, split="train")
+    loader = BatchLoader(ds, batch_size=4, num_workers=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch; queue is full at this point
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
 
 
 def test_ufgvc_rejects_unknown_dataset():
