@@ -106,29 +106,45 @@ class BatchLoader:
 
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
             stop = object()
+            abandoned = threading.Event()  # consumer quit the generator early
+
+            def put(item) -> bool:
+                # bounded-queue put that gives up once the consumer is gone,
+                # so an abandoned epoch can never wedge the producer thread
+                while not abandoned.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def producer():
                 # exceptions must surface in the consumer — a silently dead
                 # producer would truncate the epoch with no error
                 try:
                     for idxs in batches:
-                        q.put(self._load_batch(idxs, pool))
+                        if not put(self._load_batch(idxs, pool)):
+                            return
                 except BaseException as e:  # noqa: BLE001 — re-raised below
-                    q.put(e)
+                    put(e)
                 finally:
-                    q.put(stop)
+                    put(stop)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
-            while True:
-                item = q.get()
-                if item is stop:
-                    break
-                if isinstance(item, BaseException):
-                    t.join()
-                    raise item
-                yield item
-            t.join()
+            try:
+                while True:
+                    item = q.get()
+                    if item is stop:
+                        break
+                    if isinstance(item, BaseException):
+                        t.join()
+                        raise item
+                    yield item
+                t.join()
+            finally:
+                abandoned.set()
 
 
 def create_multi_loaders(

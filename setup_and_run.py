@@ -75,6 +75,11 @@ def main(argv=None) -> int:
     parser.add_argument("--skip-eval", action="store_true")
     parser.add_argument("--device", default=None, choices=["tpu", "cpu", "axon"])
     args = parser.parse_args(argv)
+    # resolve --root against the LAUNCH cwd once: the download subprocess
+    # inherits our cwd but train/eval run with cwd=HERE, so a relative root
+    # would point the generated config at HERE/<root> while the data landed
+    # in $PWD/<root>
+    args.root = str(Path(args.root).resolve())
 
     if not check_dependencies():
         return 1
