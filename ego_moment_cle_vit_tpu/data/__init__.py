@@ -12,7 +12,12 @@ from .augment import (
     IMAGENET_MEAN,
     IMAGENET_STD,
 )
-from .pipeline import BatchLoader, create_multi_loaders, shard_batch
+from .pipeline import (
+    BatchLoader,
+    DevicePrefetcher,
+    create_multi_loaders,
+    shard_batch,
+)
 
 __all__ = [
     "UFGVCDataset",
@@ -28,6 +33,7 @@ __all__ = [
     "IMAGENET_MEAN",
     "IMAGENET_STD",
     "BatchLoader",
+    "DevicePrefetcher",
     "create_multi_loaders",
     "shard_batch",
 ]

@@ -316,3 +316,42 @@ def test_grid_shuffle_non_divisible_size():
         np.sort(np.asarray(out[:448, :448]).ravel()),
         np.sort(np.asarray(img[:448, :448]).ravel()),
     )
+
+
+def test_device_prefetcher_matches_inline_transfer():
+    """DevicePrefetcher yields the same batches as inline shard_batch, in
+    order, and surfaces producer exceptions."""
+    import jax
+    import numpy as np
+
+    from ego_moment_cle_vit_tpu.data import (
+        BatchLoader,
+        DevicePrefetcher,
+        SyntheticUFGDataset,
+    )
+
+    ds = SyntheticUFGDataset(num_classes=4, samples_per_class=4, resize_size=32)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    inline = [(np.asarray(i), np.asarray(l)) for i, l in loader]
+    pre = list(DevicePrefetcher(loader, depth=2))
+    assert len(pre) == len(inline)
+    for (ii, il), (pi, pl) in zip(inline, pre):
+        assert isinstance(pi, jax.Array)
+        np.testing.assert_array_equal(ii, np.asarray(pi))
+        np.testing.assert_array_equal(il, np.asarray(pl))
+
+    # abandoning mid-iteration must not wedge (transfer thread gives up)
+    it = iter(DevicePrefetcher(loader, depth=1))
+    next(it)
+    it.close()
+
+    # producer exceptions surface at the consumer
+    class Boom:
+        def __iter__(self):
+            yield (np.zeros((1, 8, 8, 3), np.uint8), np.zeros((1,), np.int32))
+            raise RuntimeError("boom")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DevicePrefetcher(Boom(), depth=1))
