@@ -36,22 +36,12 @@ from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
     spatial_window_attention_available,
     window_attention_available,
 )
-from ego_moment_cle_vit_tpu.ops.pallas.swin_block import (
-    fused_window_block,
-    fused_window_block_available,
-)
-
 Dtype = Any
 
 
 def _single_tpu() -> bool:
     return jax.default_backend() == "tpu" and len(jax.devices()) == 1
 
-
-# set True once the fused half-block kernel's on-chip speed/stability is
-# validated; until then 'auto' uses the attention-only kernel and 'fused'
-# must be requested explicitly
-_FUSED_IN_AUTO = False
 
 # spatial-layout attention kernel (window partition/reverse absorbed into
 # the kernel's block DMA — ops/pallas/window_attention.py spatial variant).
@@ -91,25 +81,6 @@ def _use_spatial_kernel(mode: str, hp: int, wp: int, ws: int, c: int,
         and _single_tpu()
         and spatial_window_attention_available(hp, wp, ws, c, num_heads, pack)
     )
-
-
-def _use_fused_block(mode: str, hp: int, wp: int, ws: int, c: int,
-                     num_heads: int) -> bool:
-    """'fused' forces the full fused half-block kernel; 'auto' may use it on
-    a single-device TPU when shapes qualify (gated by _FUSED_IN_AUTO)."""
-    if mode == "fused":
-        if not fused_window_block_available(hp, wp, ws, c, num_heads):
-            raise ValueError(
-                "attn_kernel='fused' requested but the fused kernel does not "
-                f"support this block (hp={hp}, wp={wp}, ws={ws}, C={c}, "
-                f"heads={num_heads}): C must be a multiple of 128 and of "
-                "num_heads, the map a whole number of windows, and the tile "
-                "must fit VMEM"
-            )
-        return True
-    if mode != "auto" or not _FUSED_IN_AUTO:
-        return False
-    return _single_tpu() and fused_window_block_available(hp, wp, ws, c, num_heads)
 
 
 def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
@@ -181,7 +152,7 @@ def _blockdiag_mask(mask: jnp.ndarray, p: int):
 
 class _DenseParams(nn.Module):
     """Raw nn.Dense-compatible parameters (kernel + bias) without the op —
-    the fused kernel consumes them directly; tree paths match nn.Dense."""
+    kernel paths consume them directly; tree paths match nn.Dense."""
 
     in_dim: int
     out_dim: int
@@ -195,20 +166,9 @@ class _DenseParams(nn.Module):
         return k, b
 
 
-class _LNParams(nn.Module):
-    """nn.LayerNorm-compatible scale/bias parameters."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones_init(), (self.dim,))
-        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
-        return s, b
-
-
 class _AttnParams(nn.Module):
-    """WindowAttention-compatible parameter set for the fused block kernel."""
+    """WindowAttention-compatible parameter set consumed by the
+    spatial-layout attention kernel path; tree paths match WindowAttention."""
 
     dim: int
     num_heads: int
@@ -474,20 +434,11 @@ class SwinBlock(nn.Module):
         pack = 2 if num_windows % 2 == 0 else 1
         if _PROFILE_PACK1:
             pack = 1
-        nw_row = wp // ws
-        # the fused kernel packs along W within a window row; require the
-        # raster pairing to coincide (nw even), else pack=1 there
-        fused_pack = pack if nw_row % pack == 0 else 1
-        # (packing is math-neutral, so fused_pack may differ from the XLA
-        # path's raster pack without changing results)
-        use_fused = _use_fused_block(
-            self.attn_kernel, hp, wp, ws, c, self.num_heads
-        )
         # full row of windows per grid cell: the qkv block's width tile must
         # equal Wp (Mosaic block-shape rule — see
         # spatial_window_attention_available); also shrinks the grid
         spatial_pack = wp // ws
-        use_spatial = not use_fused and _use_spatial_kernel(
+        use_spatial = _use_spatial_kernel(
             self.attn_kernel, hp, wp, ws, c, self.num_heads, spatial_pack
         )
 
@@ -528,35 +479,6 @@ class SwinBlock(nn.Module):
             if hp != h or wp != w:
                 om = om[:, :h, :w]
             x = shortcut + om.reshape(b, n, c)
-        elif use_fused:
-            # One VMEM pass: LN1 + qkv + window attention + proj + residual
-            # (ops/pallas/swin_block.py).  Roll/pad stay outside: rolls
-            # commute with the residual add, pad rows are sliced off.
-            t = fused_pack * ws * ws
-            lns, lnb = _LNParams(c, name="norm1")()
-            wqkv, bqkv, wproj, bproj, table = _AttnParams(
-                c, self.num_heads, ws, name="attn"
-            )()
-            bias_bd = _build_bias_bd(table, ws, fused_pack, self.num_heads)
-            madd = (
-                _blockdiag_mask(mask, fused_pack)
-                if mask is not None
-                else jnp.zeros((1, t, t), jnp.float32)
-            )
-            xm = x.reshape(b, h, w, c)
-            if hp != h or wp != w:
-                xm = jnp.pad(xm, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-            if shift > 0:
-                xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
-            om = fused_window_block(
-                xm, lns, lnb, wqkv, bqkv, bias_bd, madd, wproj, bproj,
-                self.num_heads, ws, fused_pack, self.layer_norm_eps,
-            )
-            if shift > 0:
-                om = jnp.roll(om, shift=(shift, shift), axis=(1, 2))
-            if hp != h or wp != w:
-                om = om[:, :h, :w]
-            x = om.reshape(b, n, c)
         else:
             shortcut = x
             x = nn.LayerNorm(

@@ -286,40 +286,6 @@ def test_vit_attn_kernel_path_matches_xla_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
-def test_swin_fused_block_kernel_matches_xla_path():
-    """Fused LN+qkv+attention+proj+residual half-block kernel vs the XLA
-    path: outputs and EVERY parameter gradient (LN affine, qkv/proj
-    kernels+biases, relative-position-bias table), on a shifted config and
-    a padded-resolution config."""
-    from ego_moment_cle_vit_tpu.models.swin import Swin, SwinConfig
-
-    for kw, shape in [
-        (dict(img_size=112, embed_dim=128, depths=(2, 2), num_heads=(4, 8)),
-         (2, 112, 112, 3)),
-        (dict(img_size=64, embed_dim=128, depths=(2,), num_heads=(4,)),
-         (2, 64, 64, 3)),  # 16x16 map pads to 21 -> exercises pad masks
-    ]:
-        x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
-        m_off = Swin(SwinConfig(attn_kernel="off", **kw))
-        m_f = Swin(SwinConfig(attn_kernel="fused", **kw))
-        params = m_off.init(jax.random.PRNGKey(1), x)
-        # identical parameter trees (checkpoint/porting compatibility)
-        assert jax.tree_util.tree_structure(
-            params
-        ) == jax.tree_util.tree_structure(m_f.init(jax.random.PRNGKey(1), x))
-        np.testing.assert_allclose(
-            np.asarray(m_off.apply(params, x)),
-            np.asarray(m_f.apply(params, x)),
-            atol=3e-4,
-        )
-        g0 = jax.grad(lambda p: jnp.sum(jnp.sin(m_off.apply(p, x))))(params)
-        g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_f.apply(p, x))))(params)
-        for a, b in zip(
-            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
-        ):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
-
-
 def _ref_plain_attention(qkv, num_heads):
     b, n, c3 = qkv.shape
     c = c3 // 3
@@ -406,18 +372,29 @@ def test_swin_spatial_kernel_path_matches_xla_path():
     including shifted blocks (mask routing via the grid index map)."""
     from ego_moment_cle_vit_tpu.models.swin import Swin, SwinConfig
 
-    kw = dict(img_size=56, embed_dim=128, depths=(2,), num_heads=(4,))
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3), jnp.float32)
-    m_off = Swin(SwinConfig(attn_kernel="off", **kw))
-    m_sp = Swin(SwinConfig(attn_kernel="spatial", **kw))
-    params = m_off.init(jax.random.PRNGKey(1), x)
-    y0 = m_off.apply(params, x)
-    y1 = m_sp.apply(params, x)
-    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
-    g0 = jax.grad(lambda p: jnp.sum(jnp.sin(m_off.apply(p, x))))(params)
-    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_sp.apply(p, x))))(params)
-    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    for kw, shape in [
+        (dict(img_size=56, embed_dim=128, depths=(2,), num_heads=(4,)),
+         (2, 56, 56, 3)),
+        (dict(img_size=64, embed_dim=128, depths=(2,), num_heads=(4,)),
+         (2, 64, 64, 3)),  # 16x16 map pads to 21 -> exercises pad masks
+    ]:
+        x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+        m_off = Swin(SwinConfig(attn_kernel="off", **kw))
+        m_sp = Swin(SwinConfig(attn_kernel="spatial", **kw))
+        params = m_off.init(jax.random.PRNGKey(1), x)
+        # identical parameter trees (checkpoint/porting compatibility)
+        assert jax.tree_util.tree_structure(
+            params
+        ) == jax.tree_util.tree_structure(m_sp.init(jax.random.PRNGKey(1), x))
+        y0 = m_off.apply(params, x)
+        y1 = m_sp.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
+        g0 = jax.grad(lambda p: jnp.sum(jnp.sin(m_off.apply(p, x))))(params)
+        g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_sp.apply(p, x))))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
 def test_spatial_kernel_availability_and_forcing_errors():
