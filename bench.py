@@ -96,18 +96,26 @@ def bench_inference(model, variables, aug_cfg, batch, steps, backbone):
     return 0
 
 
-def _bench_e2e(step, state, labels_template, key, batch, steps):
-    """Throughput with the host input pipeline in the loop.
+def _bench_e2e(step, state, labels_template, key, batch, steps, cached):
+    """Throughput with the input pipeline in the loop.
 
-    SyntheticUFGDataset (numpy sample synthesis, JPEG-free — real parquet is
-    unavailable in this zero-egress environment) -> BatchLoader threads ->
-    jnp device transfer -> the SAME jitted train step.  Reports img/s; the
-    gap vs the device-only number is the host pipeline's uncovered cost.
+    cached=True — the production path for UFG-sized datasets
+    (data.device_cache, the trainer default when the split fits HBM):
+    SyntheticUFGDataset decoded once -> HBM-resident cache -> on-device
+    gather -> the SAME jitted train step.  Per-step host traffic is a
+    64-int32 index vector.
+
+    cached=False — the streaming path for datasets too large to cache:
+    BatchLoader threads -> DevicePrefetcher H2D staging -> step.  On the
+    axon tunnel this is link-bound (~26 MB/s H2D, transfers do not overlap
+    compute — docs/PERFORMANCE.md "input pipeline"); on a co-located TPU
+    host the same path rides PCIe at GB/s.
     """
     import time as _time
 
     from ego_moment_cle_vit_tpu.data import (
         BatchLoader,
+        DeviceDatasetCache,
         DevicePrefetcher,
         SyntheticUFGDataset,
     )
@@ -118,18 +126,23 @@ def _bench_e2e(step, state, labels_template, key, batch, steps):
         num_classes=80, samples_per_class=per_class, resize_size=256,
         split="train",
     )
-    loader = BatchLoader(
-        ds, batch_size=batch,
-        num_workers=int(os.environ.get("BENCH_E2E_WORKERS", "8")),
-        prefetch=int(os.environ.get("BENCH_E2E_PREFETCH", "2")),
-    )
-    # async H2D staging: without this the step waits on the tunnel copy
-    # every batch (measured 64 vs ~200 img/s at the flagship config)
-    it = iter(DevicePrefetcher(
-        loader, depth=int(os.environ.get("BENCH_E2E_DEVICE_PREFETCH", "2"))
-    ))
+    if cached:
+        it = iter(DeviceDatasetCache(
+            ds, batch_size=batch,
+            num_workers=int(os.environ.get("BENCH_E2E_WORKERS", "8")),
+        ))
+    else:
+        loader = BatchLoader(
+            ds, batch_size=batch,
+            num_workers=int(os.environ.get("BENCH_E2E_WORKERS", "8")),
+            prefetch=int(os.environ.get("BENCH_E2E_PREFETCH", "2")),
+        )
+        it = iter(DevicePrefetcher(
+            loader,
+            depth=int(os.environ.get("BENCH_E2E_DEVICE_PREFETCH", "2")),
+        ))
 
-    # warmup (program is already compiled; this warms the loader threads)
+    # warmup (program is already compiled; this warms the pipeline)
     for _ in range(3):
         images, labels = next(it)
         state, loss = step(state, images, labels, key)
@@ -144,7 +157,9 @@ def _bench_e2e(step, state, labels_template, key, batch, steps):
             break
     float(loss)
     elapsed = _time.perf_counter() - t0
-    return batch * done / elapsed
+    # the step donates its state arg: hand the LIVE state back so the
+    # caller can keep using it (its original buffers are gone)
+    return batch * done / elapsed, state
 
 
 def main() -> int:
@@ -282,15 +297,21 @@ def main() -> int:
     img_per_sec = batch * steps / elapsed
     n_chips = len(jax.devices())
 
-    # end-to-end number: the same jitted step fed by the REAL host input
-    # pipeline (SyntheticUFGDataset decode-free host path -> BatchLoader
-    # threads -> H2D -> step).  The reference's real-world throughput is
-    # dataloader-bound (8 PIL workers, /root/reference/train.py:241-257);
-    # an honest comparison must include the host side.  Skippable via
-    # BENCH_E2E=0 (e.g. ultra-quick runs).
-    e2e_img_per_sec = None
+    # end-to-end numbers: the same jitted step fed by the real input
+    # pipeline.  The reference's real-world throughput is dataloader-bound
+    # (8 PIL workers, /root/reference/train.py:241-257); an honest
+    # comparison must include the data path.  Two modes: the HBM-resident
+    # cache (trainer default for UFG-sized splits) and the streaming
+    # host loader (large datasets).  Skippable via BENCH_E2E=0.
+    e2e_img_per_sec = e2e_stream_img_per_sec = None
     if os.environ.get("BENCH_E2E", "1") == "1":
-        e2e_img_per_sec = _bench_e2e(step, state, labels, key, batch, steps)
+        e2e_img_per_sec, state = _bench_e2e(
+            step, state, labels, key, batch, steps, cached=True
+        )
+        if os.environ.get("BENCH_E2E_STREAM", "1") == "1":
+            e2e_stream_img_per_sec, state = _bench_e2e(
+                step, state, labels, key, batch, steps, cached=False
+            )
 
     result = {
         "metric": f"train_images_per_sec_per_chip ({backbone} dual-view 224 bf16, full step)",
@@ -308,6 +329,10 @@ def main() -> int:
         result["e2e_images_per_sec_per_chip"] = round(e2e_img_per_sec / n_chips, 2)
         result["e2e_gap_pct"] = round(
             100.0 * (1.0 - e2e_img_per_sec / img_per_sec), 1
+        )
+    if e2e_stream_img_per_sec is not None:
+        result["e2e_stream_images_per_sec_per_chip"] = round(
+            e2e_stream_img_per_sec / n_chips, 2
         )
     print(json.dumps(result))
     print(

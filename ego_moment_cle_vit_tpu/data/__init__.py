@@ -12,6 +12,7 @@ from .augment import (
     IMAGENET_MEAN,
     IMAGENET_STD,
 )
+from .device_cache import DeviceDatasetCache, device_cache_fits
 from .pipeline import (
     BatchLoader,
     DevicePrefetcher,
@@ -34,6 +35,8 @@ __all__ = [
     "IMAGENET_STD",
     "BatchLoader",
     "DevicePrefetcher",
+    "DeviceDatasetCache",
+    "device_cache_fits",
     "create_multi_loaders",
     "shard_batch",
 ]

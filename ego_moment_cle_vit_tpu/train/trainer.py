@@ -30,9 +30,11 @@ import numpy as np
 from ..data import (
     AugmentConfig,
     BatchLoader,
+    DeviceDatasetCache,
     DevicePrefetcher,
     SyntheticUFGDataset,
     UFGVCDataset,
+    device_cache_fits,
     dual_view_eval_batch,
     dual_view_train_batch,
     shard_batch,
@@ -174,30 +176,66 @@ class Trainer:
             self.logger.warning("no val split; falling back to test")
             self.val_dataset = _make_dataset(self.config, "test")
 
-        workers = int(self.config.get("data", {}).get("num_workers", 8))
+        dcfg = self.config.get("data", {})
+        workers = int(dcfg.get("num_workers", 8))
         # device-side prefetch depth (batches staged onto the device ahead
         # of compute); data.device_prefetch=0 restores inline transfer
-        self._device_prefetch = int(
-            self.config.get("data", {}).get("device_prefetch", 2)
-        )
-        self.train_loader = BatchLoader(
-            self.train_dataset,
-            batch_size=batch_size,
-            shuffle=True,
-            seed=self.seed,
-            num_workers=workers,
-        )
+        self._device_prefetch = int(dcfg.get("device_prefetch", 2))
         # clamp the val batch to the split size: with drop_last (static
         # XLA shapes) a split smaller than the train batch would otherwise
         # yield ZERO val batches and best_val_acc would never update
         val_batch = max(1, min(batch_size, len(self.val_dataset)))
-        self.val_loader = BatchLoader(
-            self.val_dataset,
-            batch_size=val_batch,
-            shuffle=False,
-            seed=self.seed,
-            num_workers=workers,
+
+        # HBM-resident dataset cache (data.device_cache: auto|true|false).
+        # UFG splits are small; uploading the decoded split once and
+        # gathering batches on device removes per-step H2D entirely —
+        # data/device_cache.py.  'auto' caches each split that fits the
+        # budget; multi-process (multi-host) runs keep the host loader,
+        # which already strides the global shuffle per process.
+        cache_mode = str(dcfg.get("device_cache", "auto")).lower()
+        budget = int(
+            float(dcfg.get("device_cache_budget_gb", 6.0)) * 1024**3
         )
+        multi_host = jax.process_count() > 1
+
+        def make_loader(dataset, bsz, shuffle):
+            img_size = getattr(dataset, "image_size", None) or int(
+                dcfg.get("resize_size", 600)
+            )
+            fits = device_cache_fits(len(dataset), img_size, budget)
+            use_cache = cache_mode == "true" or (
+                cache_mode == "auto" and fits and not multi_host
+            )
+            if use_cache:
+                if not fits:
+                    self.logger.warning(
+                        "device_cache=true but split (%d x %d^2) exceeds the "
+                        "%d GB budget; caching anyway as requested",
+                        len(dataset), img_size, budget // 1024**3,
+                    )
+                loader = DeviceDatasetCache(
+                    dataset,
+                    batch_size=bsz,
+                    shuffle=shuffle,
+                    seed=self.seed,
+                    num_workers=workers,
+                    mesh=self.mesh,
+                )
+                self.logger.info(
+                    "device cache: %d samples (%.0f MB) resident in HBM",
+                    len(dataset), loader.nbytes / 1e6,
+                )
+                return loader
+            return BatchLoader(
+                dataset,
+                batch_size=bsz,
+                shuffle=shuffle,
+                seed=self.seed,
+                num_workers=workers,
+            )
+
+        self.train_loader = make_loader(self.train_dataset, batch_size, True)
+        self.val_loader = make_loader(self.val_dataset, val_batch, False)
         # inject num_classes from the dataset (reference train.py:260)
         self.num_classes = len(self.train_dataset.classes)
         self.config.setdefault("model", {})["num_classes"] = self.num_classes
@@ -366,6 +404,8 @@ class Trainer:
     def _device_batches(self, loader):
         """Device-resident batches; data.device_prefetch=0 restores the
         inline per-batch transfer (debugging aid)."""
+        if isinstance(loader, DeviceDatasetCache):
+            return iter(loader)  # batches are already in HBM
         if self._device_prefetch > 0:
             return DevicePrefetcher(
                 loader, self.mesh, depth=self._device_prefetch

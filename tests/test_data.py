@@ -355,3 +355,81 @@ def test_device_prefetcher_matches_inline_transfer():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(DevicePrefetcher(Boom(), depth=1))
+
+
+def test_device_dataset_cache_matches_batch_loader():
+    """Cache yields the same epoch-seeded shuffle order and batch contents
+    as BatchLoader, and set_epoch changes the order deterministically."""
+    import numpy as np
+
+    from ego_moment_cle_vit_tpu.data import (
+        BatchLoader,
+        DeviceDatasetCache,
+        SyntheticUFGDataset,
+    )
+
+    ds = SyntheticUFGDataset(num_classes=5, samples_per_class=5, resize_size=24)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=3, num_workers=2)
+    cache = DeviceDatasetCache(ds, batch_size=8, shuffle=True, seed=3, num_workers=2)
+    assert len(cache) == len(loader)
+    for epoch in (0, 1):
+        loader.set_epoch(epoch)
+        cache.set_epoch(epoch)
+        for (hi, hl), (ci, cl) in zip(loader, cache):
+            np.testing.assert_array_equal(hi, np.asarray(ci))
+            np.testing.assert_array_equal(hl, np.asarray(cl))
+
+    # different epochs -> different order
+    cache.set_epoch(0)
+    first0 = np.asarray(next(iter(cache))[1])
+    cache.set_epoch(1)
+    first1 = np.asarray(next(iter(cache))[1])
+    assert not np.array_equal(first0, first1)
+
+
+def test_device_dataset_cache_mesh_sharding():
+    """Under a mesh the cache's gather emits data-axis-sharded batches —
+    the same placement shard_batch produces."""
+    import jax
+    import numpy as np
+
+    from ego_moment_cle_vit_tpu.data import (
+        DeviceDatasetCache,
+        SyntheticUFGDataset,
+        shard_batch,
+    )
+    from ego_moment_cle_vit_tpu.parallel import create_mesh
+
+    mesh = create_mesh(data=len(jax.devices()))
+    ds = SyntheticUFGDataset(num_classes=4, samples_per_class=4, resize_size=16)
+    cache = DeviceDatasetCache(
+        ds, batch_size=8, shuffle=False, num_workers=2, mesh=mesh
+    )
+    imgs, lbls = next(iter(cache))
+    ref_imgs, _ = shard_batch(
+        (np.stack([ds[i][0] for i in range(8)]), np.arange(8)), mesh
+    )
+    assert imgs.sharding == ref_imgs.sharding
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(ref_imgs))
+
+
+def test_trainer_device_cache_auto(tmp_path):
+    """data.device_cache auto engages the HBM cache for a tiny synthetic
+    split and trains an epoch end-to-end on it."""
+    import numpy as np
+
+    from ego_moment_cle_vit_tpu.data import DeviceDatasetCache
+    from ego_moment_cle_vit_tpu.train.trainer import Trainer
+    from ego_moment_cle_vit_tpu.utils.config import load_config
+
+    cfg = load_config("configs/smoke_synthetic.yaml")
+    cfg["experiment"]["output_dir"] = str(tmp_path / "outputs")
+    cfg["experiment"]["save_dir"] = str(tmp_path / "ckpts")
+    cfg["experiment"]["log_dir"] = str(tmp_path / "logs")
+    cfg.setdefault("data", {})["device_cache"] = "auto"
+    trainer = Trainer(cfg)
+    trainer.setup_data()
+    trainer.setup_model()
+    assert isinstance(trainer.train_loader, DeviceDatasetCache)
+    metrics = trainer.train_epoch(0)
+    assert np.isfinite(metrics["loss"])
