@@ -78,6 +78,94 @@ def master_weights(inner: optax.GradientTransformation) -> optax.GradientTransfo
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class _ClipCheckState(struct.PyTreeNode):
+    notfinite_count: Any
+    total_notfinite: Any
+    inner: Any
+
+
+def clip_and_skip_nonfinite(
+    max_norm: Optional[float],
+    inner: optax.GradientTransformation,
+    max_consecutive_errors: int = 10,
+) -> optax.GradientTransformation:
+    """Global-norm clip + non-finite-step containment in ONE gradient sweep.
+
+    ``optax.chain(clip_by_global_norm, ...)`` inside
+    ``optax.apply_if_finite`` reads the full gradient tree twice before the
+    optimizer even starts: once for the norm, once for the tree-wide
+    isfinite check.  But the second read is redundant — the fp32 global
+    norm is finite iff every leaf is finite (inf/nan propagate through the
+    squared sum; a squared-sum OVERFLOW on astronomically large finite
+    grads also reads as non-finite, which is the safe direction: such a
+    step is diverged and should be skipped anyway).  Measured in-step at
+    the flagship config (B=64): 17.8 ms for the chained form
+    (docs/PROFILE_FLAGSHIP_R3.md) — this fused form removes one full-tree
+    read and one cond boundary from that budget.
+
+    Semantics mirror ``apply_if_finite`` (non-finite: zero updates, inner
+    state untouched, consecutive-error count incremented; after
+    ``max_consecutive_errors`` consecutive bad steps the updates are
+    poisoned with NaN so training fails loudly) with the clip folded in.
+    ``max_norm=None`` keeps the containment but never rescales.
+    """
+
+    def init_fn(params):
+        return _ClipCheckState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner=inner.init(params),
+        )
+
+    def update_fn(updates, state, params=None):
+        sq = sum(
+            jnp.sum(jnp.square(u.astype(jnp.float32)))
+            for u in jax.tree_util.tree_leaves(updates)
+        )
+        g_norm = jnp.sqrt(sq)
+        isfin = jnp.isfinite(g_norm)
+        if max_norm is not None:
+            scale = jnp.minimum(max_norm / jnp.maximum(g_norm, 1e-16), 1.0)
+        else:
+            scale = jnp.float32(1.0)
+        # non-finite: zero the updates entering the cond so BOTH branches
+        # see well-defined numbers (the skip branch ignores them anyway)
+        safe = jnp.where(isfin, scale, 0.0)
+        clipped = jax.tree_util.tree_map(
+            lambda u: (u.astype(jnp.float32) * safe).astype(u.dtype), updates
+        )
+
+        def do_update(operand):
+            ups, inner_state = operand
+            new_u, new_s = inner.update(ups, inner_state, params)
+            return new_u, new_s
+
+        def skip_update(operand):
+            ups, inner_state = operand
+            return jax.tree_util.tree_map(jnp.zeros_like, ups), inner_state
+
+        new_updates, new_inner = jax.lax.cond(
+            isfin, do_update, skip_update, (clipped, state.inner)
+        )
+        notfin = jnp.where(isfin, 0, state.notfinite_count + 1)
+        # poison after the limit: a persistent non-finite stream must fail
+        # loudly, not silently freeze training (apply_if_finite parity)
+        poisoned = notfin > max_consecutive_errors
+        new_updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(poisoned, jnp.nan, u.astype(jnp.float32)).astype(
+                u.dtype
+            ),
+            new_updates,
+        )
+        return new_updates, _ClipCheckState(
+            notfinite_count=notfin,
+            total_notfinite=state.total_notfinite + jnp.where(isfin, 0, 1),
+            inner=new_inner,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
     """optax.clip_by_global_norm with the norm accumulated in fp32.
 
@@ -228,19 +316,21 @@ def create_optimizer(
     )
 
     grad_clip = float(tcfg.get("grad_clip", 1.0))
-    if grad_clip > 0:
-        # grad_clip <= 0 disables clipping (and its full-gradient-tree
-        # global-norm sweep) entirely; fp32-accumulated norm (bf16 leaves)
+    skip_nonfinite = bool(tcfg.get("skip_nonfinite_updates", True))
+    max_bad = int(tcfg.get("max_nonfinite_steps", 10))
+    # failure containment: skip non-finite updates instead of corrupting the
+    # train state (the reference has no failure detection at all —
+    # SURVEY.md §5); poison after ``max_nonfinite_steps`` bad steps.  The
+    # clip and the finite check share one gradient sweep
+    # (clip_and_skip_nonfinite); grad_clip <= 0 disables rescaling.
+    if skip_nonfinite:
+        tx = clip_and_skip_nonfinite(
+            grad_clip if grad_clip > 0 else None, inner, max_bad
+        )
+    elif grad_clip > 0:
         tx = optax.chain(clip_by_global_norm_f32(grad_clip), inner)
     else:
         tx = inner
-    # failure containment: skip non-finite updates instead of corrupting the
-    # train state (the reference has no failure detection at all —
-    # SURVEY.md §5); abort after ``max_consecutive_errors`` bad steps.
-    if tcfg.get("skip_nonfinite_updates", True):
-        tx = optax.apply_if_finite(
-            tx, max_consecutive_errors=int(tcfg.get("max_nonfinite_steps", 10))
-        )
     accum = int(tcfg.get("accumulation_steps", 1))
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)

@@ -286,3 +286,91 @@ def test_bf16_param_storage_trains_end_to_end():
     after_p = state.params["moment_head"]["second_proj"]["kernel"]
     assert after_p.dtype == jnp.bfloat16
     assert not np.allclose(np.asarray(after_p, np.float32), before)
+
+
+def test_clip_and_skip_nonfinite_matches_chained_form():
+    """The fused clip+finite-check transform must be step-for-step
+    equivalent to chain(clip_by_global_norm, inner) inside apply_if_finite:
+    identical updates on finite grads, zero updates + untouched inner state
+    on non-finite grads, NaN poisoning after the consecutive limit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ego_moment_cle_vit_tpu.train.state import (
+        clip_and_skip_nonfinite,
+        clip_by_global_norm_f32,
+    )
+
+    params = {
+        "a": jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32),
+        "b": jnp.asarray(np.random.default_rng(1).normal(size=(16,)), jnp.float32),
+    }
+    inner = optax.adam(1e-2)
+
+    fused = clip_and_skip_nonfinite(0.5, inner, max_consecutive_errors=2)
+    chained = optax.apply_if_finite(
+        optax.chain(clip_by_global_norm_f32(0.5), inner),
+        max_consecutive_errors=2,
+    )
+    sf = fused.init(params)
+    sc = chained.init(params)
+
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        # big grads on step 1 so the clip actually triggers
+        mag = 10.0 if i == 1 else 0.1
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape) * mag, jnp.float32),
+            params,
+        )
+        uf, sf = fused.update(g, sf, params)
+        uc, sc = chained.update(g, sc, params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(uf), jax.tree_util.tree_leaves(uc)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # non-finite grads: zero updates, inner state untouched
+    bad = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan), params)
+    inner_before = jax.tree_util.tree_leaves(sf.inner)
+    uf, sf = fused.update(bad, sf, params)
+    assert all(not np.any(np.asarray(u)) for u in jax.tree_util.tree_leaves(uf))
+    for a, b in zip(inner_before, jax.tree_util.tree_leaves(sf.inner)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(sf.notfinite_count) == 1 and int(sf.total_notfinite) == 1
+
+    # a finite step resets the consecutive count
+    good = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.01), params)
+    _, sf = fused.update(good, sf, params)
+    assert int(sf.notfinite_count) == 0 and int(sf.total_notfinite) == 1
+
+    # past the limit: updates are poisoned so training fails loudly
+    for _ in range(3):
+        uf, sf = fused.update(bad, sf, params)
+    assert all(
+        np.all(np.isnan(np.asarray(u))) for u in jax.tree_util.tree_leaves(uf)
+    )
+
+
+def test_clip_and_skip_nonfinite_bf16_master_leaves():
+    """Fused transform composes with bf16-stored leaves + master_weights:
+    norm accumulates in fp32 and emitted updates keep leaf dtypes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ego_moment_cle_vit_tpu.train.state import (
+        clip_and_skip_nonfinite,
+        master_weights,
+    )
+
+    params = {"w": jnp.ones((64, 8), jnp.bfloat16)}
+    tx = clip_and_skip_nonfinite(1.0, master_weights(optax.adam(1e-2)))
+    s = tx.init(params)
+    g = {"w": jnp.full((64, 8), 0.25, jnp.bfloat16)}
+    u, s = tx.update(g, s, params)
+    assert u["w"].dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(u["w"], np.float32)))
