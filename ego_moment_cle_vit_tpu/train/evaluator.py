@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import BatchLoader, dual_view_eval_batch
+from ..data import BatchLoader, DevicePrefetcher, dual_view_eval_batch
 from ..models import create_model
 from .state import restore_checkpoint
 from .trainer import _augment_config, _make_dataset
@@ -234,18 +234,16 @@ class Evaluator:
         t0 = time.perf_counter()
         n_images = 0
         sample_graph = None
-        for images, labels in self.loader:
-            out = self._eval_step(jnp.asarray(images), jnp.asarray(labels))
+        for images, labels in DevicePrefetcher(self.loader):
+            out = self._eval_step(images, labels)
             if sample_graph is None:
                 # keep one fused graph for the eval viz suite
                 # (reference eval.py:334 renders the graph-weight panel)
                 sample_graph = np.asarray(
-                    self._graph_sample_step(
-                        jnp.asarray(images), jnp.asarray(labels)
-                    )
+                    self._graph_sample_step(images, labels)
                 )
             all_logits.append(np.asarray(out["logits"]))
-            all_labels.append(labels)
+            all_labels.append(np.asarray(labels))
             all_moment.append(np.asarray(out["moment_features"]))
             all_global.append(np.asarray(out["anchor_global"]))
             losses.append(float(out["loss"]))
@@ -286,9 +284,9 @@ class Evaluator:
         results = {}
         for mode, step in self._ablation_steps.items():
             correct = total = 0
-            for images, labels in self.loader:
-                logits = np.asarray(step(jnp.asarray(images)))
-                correct += int((logits.argmax(-1) == labels).sum())
+            for images, labels in DevicePrefetcher(self.loader):
+                logits = np.asarray(step(images))
+                correct += int((logits.argmax(-1) == np.asarray(labels)).sum())
                 total += labels.shape[0]
             results[mode] = correct / max(total, 1)
         return results
