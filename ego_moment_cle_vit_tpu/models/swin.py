@@ -48,38 +48,44 @@ def _single_tpu() -> bool:
 # True: 'auto' prefers it over the packed-layout kernel where it wins.
 _SPATIAL_IN_AUTO = True
 
-# Mosaic's block-shape rule forces the spatial tile to a FULL row of
-# windows (pack = Wp/ws), and the kernel computes dense [T, T] logits over
-# the packed row — cross-window entries are masked, i.e. wasted MXU work.
-# At pack <= 2 that waste matches the packed-layout kernel's own raster
-# pack, so the DMA savings are pure profit (stage2's 18 blocks + stage3);
-# at stage0/1 (pack 8/4) the 4x/2x extra attention FLOPs eat the backward's
-# HBM win (measured: fwd 79.3 vs 89 ms but f+b 196.3 vs 197.5 at dual-view
-# 128 with spatial forced everywhere).  'auto' therefore only picks it at
-# pack <= _SPATIAL_MAX_PACK; 'spatial' forces it everywhere that fits.
+# Mosaic's block-shape rule forces the spatial DMA tile to a FULL row of
+# windows (tile pack = Wp/ws).  The attention MATMULS inside the kernel run
+# per mm_pack-window group (mm_pack = 2 when the row divides evenly) — the
+# same problem size as the packed-layout kernel — so the full-row tile no
+# longer pays dense cross-window logits, and the partition/reverse DMA
+# savings are profit at every stage.  _SPATIAL_MAX_PACK now bounds the
+# MATMUL group (mm_pack), kept as an A/B override hook.
 _SPATIAL_MAX_PACK = 2
 
 
+def _spatial_mm_pack(tile_pack: int) -> int:
+    """Attention matmul group size for the spatial kernel: pairs when the
+    row divides evenly (same FLOPs as the packed kernel's raster pack)."""
+    mm = 2 if tile_pack % 2 == 0 else 1
+    return min(mm, _SPATIAL_MAX_PACK) if _SPATIAL_MAX_PACK >= 1 else mm
+
+
 def _use_spatial_kernel(mode: str, hp: int, wp: int, ws: int, c: int,
-                        num_heads: int, pack: int) -> bool:
+                        num_heads: int, pack: int, mm: int) -> bool:
     """'spatial' forces the spatial-layout kernel; 'auto' picks it on a
-    single-device TPU where it measured faster (small packs)."""
+    single-device TPU where it measured faster."""
     if mode == "spatial":
-        if not spatial_window_attention_available(hp, wp, ws, c, num_heads, pack):
+        if not spatial_window_attention_available(
+            hp, wp, ws, c, num_heads, pack, mm
+        ):
             raise ValueError(
                 "attn_kernel='spatial' requested but the spatial kernel does "
                 f"not support this block (hp={hp}, wp={wp}, ws={ws}, C={c}, "
-                f"heads={num_heads}, pack={pack}): C must be a multiple of "
-                "128 and of num_heads, Wp a multiple of pack*ws, and the "
-                "tile must fit VMEM"
+                f"heads={num_heads}, pack={pack}, mm={mm}): C must be a "
+                "multiple of 128 and of num_heads, Wp a multiple of pack*ws, "
+                "mm must divide pack, and the tile must fit VMEM"
             )
         return True
     if mode != "auto" or not _SPATIAL_IN_AUTO:
         return False
     return (
-        pack <= _SPATIAL_MAX_PACK
-        and _single_tpu()
-        and spatial_window_attention_available(hp, wp, ws, c, num_heads, pack)
+        _single_tpu()
+        and spatial_window_attention_available(hp, wp, ws, c, num_heads, pack, mm)
     )
 
 
@@ -436,10 +442,13 @@ class SwinBlock(nn.Module):
             pack = 1
         # full row of windows per grid cell: the qkv block's width tile must
         # equal Wp (Mosaic block-shape rule — see
-        # spatial_window_attention_available); also shrinks the grid
+        # spatial_window_attention_available); attention matmuls inside the
+        # kernel run per mm-window group (packed-kernel problem size)
         spatial_pack = wp // ws
+        spatial_mm = _spatial_mm_pack(spatial_pack)
         use_spatial = _use_spatial_kernel(
-            self.attn_kernel, hp, wp, ws, c, self.num_heads, spatial_pack
+            self.attn_kernel, hp, wp, ws, c, self.num_heads, spatial_pack,
+            spatial_mm,
         )
 
         if use_spatial:
@@ -463,15 +472,16 @@ class SwinBlock(nn.Module):
             if shift > 0:
                 xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
             qkv = xm.astype(dt) @ wqkv.astype(dt) + bqkv.astype(dt)
-            t = spatial_pack * ws * ws
-            bias_bd = _build_bias_bd(table, ws, spatial_pack, self.num_heads)
+            t = spatial_mm * ws * ws
+            bias_bd = _build_bias_bd(table, ws, spatial_mm, self.num_heads)
             madd = (
-                _blockdiag_mask(mask, spatial_pack)
+                _blockdiag_mask(mask, spatial_mm)
                 if mask is not None
                 else jnp.zeros((1, t, t), jnp.float32)
             )
             om = flash_window_attention_spatial(
-                qkv, bias_bd, madd, self.num_heads, ws, spatial_pack
+                qkv, bias_bd, madd, self.num_heads, ws, spatial_pack,
+                spatial_mm,
             )
             om = om.astype(dt) @ wproj.astype(dt) + bproj.astype(dt)
             if shift > 0:

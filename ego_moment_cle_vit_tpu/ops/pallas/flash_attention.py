@@ -73,17 +73,20 @@ def flash_attention_tiled_available(
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)  # [tq, d]
-    k = k_ref[0].astype(jnp.float32)  # [nk, d]
-    v = v_ref[0].astype(jnp.float32)
+    # dtype-native matmuls (bf16 operands on the MXU, f32 accumulate);
+    # scale folded into the f32 logits — same convention as
+    # window_attention.py
+    q = q_ref[0]  # [tq, d]
+    k = k_ref[0]  # [nk, d]
+    v = v_ref[0]
     logits = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [tq, nk]
+    ) * scale  # [tq, nk]
     logits = logits + kmask_ref[0][None, :]
     probs = jax.nn.softmax(logits, axis=-1)
     out_ref[0] = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())),
+        probs.astype(q.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
@@ -91,39 +94,46 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, scale):
 def _bwd_kernel(
     q_ref, k_ref, v_ref, kmask_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale
 ):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    dt = q.dtype
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    qs = q * scale
     logits = jax.lax.dot_general(
-        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + kmask_ref[0][None, :]
-    probs = jax.nn.softmax(logits, axis=-1)  # [tq, nk]
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + kmask_ref[0][None, :]
+    probs = jax.nn.softmax(logits, axis=-1)  # [tq, nk] f32
 
     # dv += probs^T do ;  dp = do v^T ;  ds = probs*(dp - rowsum(dp*probs))
     dv_ref[0] += jax.lax.dot_general(
-        probs, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        probs.astype(dt), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    # dq = scale * ds k ;  dk += ds^T qs
+    ds_c = ds.astype(dt)
+    # dq = scale * ds k ;  dk += scale * ds^T q
     dq_ref[0] = (
-        scale
-        * jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        jax.lax.dot_general(
+            ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        * scale
     ).astype(dq_ref.dtype)
-    dk_ref[0] += jax.lax.dot_general(
-        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    dk_ref[0] += (
+        jax.lax.dot_general(
+            ds_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
     )
 
 

@@ -91,10 +91,17 @@ def _bdot(a, b, ca: int, cb: int):
 
 
 def _head_slices(x, c: int, d: int, h: int):
-    """f32 q,k,v for head ``h`` from the raw [NB, T, 3C] block."""
-    q = x[:, :, h * d : (h + 1) * d].astype(jnp.float32)
-    k = x[:, :, c + h * d : c + (h + 1) * d].astype(jnp.float32)
-    v = x[:, :, 2 * c + h * d : 2 * c + (h + 1) * d].astype(jnp.float32)
+    """q,k,v for head ``h`` from the raw [NB, T, 3C] block.
+
+    Kept in the INPUT dtype: the MXU contracts bf16 operands natively with
+    f32 accumulation (``preferred_element_type`` in ``_bdot``), so casting
+    to f32 here would halve matmul rate and double the per-head relayout
+    work for zero accuracy gain — the XLA path the kernel replaces also
+    feeds bf16 operands (models/swin.py WindowAttention casts probs to the
+    module dtype before the PV einsum)."""
+    q = x[:, :, h * d : (h + 1) * d]
+    k = x[:, :, c + h * d : c + (h + 1) * d]
+    v = x[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
     return q, k, v
 
 
@@ -111,10 +118,12 @@ def _fwd_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, nheads, scale):
     nb_heads_bias = bias_ref.shape[0]  # H, or 1 for a head-shared bias
     for h in range(nheads):
         q, k, v = _head_slices(x, c, d, h)
-        logits = _bdot(q * scale, k, 2, 2)  # [NB, T, T] f32
+        # dtype-native matmul, f32 accumulate; scale folded into the f32
+        # logits (exact — no bf16 rounding of q)
+        logits = _bdot(q, k, 2, 2) * scale  # [NB, T, T] f32
         logits = logits + bias_ref[h % nb_heads_bias][None] + mask
         probs = jax.nn.softmax(logits, axis=-1)
-        outs.append(_bdot(probs, v, 2, 1).astype(out_ref.dtype))
+        outs.append(_bdot(probs.astype(x.dtype), v, 2, 1).astype(out_ref.dtype))
     out_ref[:, 0] = jnp.concatenate(outs, axis=-1)
 
 
@@ -134,22 +143,25 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref, dbias_ref, *,
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     dqs, dks, dvs = [], [], []
+    dt = x.dtype
     for h in range(nheads):
         q, k, v = _head_slices(x, c, d, h)
-        qs = q * scale
-        logits = _bdot(qs, k, 2, 2) + bias_ref[h % bias_ref.shape[0]][None] + mask
+        logits = _bdot(q, k, 2, 2) * scale
+        logits = logits + bias_ref[h % bias_ref.shape[0]][None] + mask
         probs = jax.nn.softmax(logits, axis=-1)  # [NB, T, S] f32
-        do = doh[:, :, h * d : (h + 1) * d].astype(jnp.float32)  # [NB, T, d]
+        do = doh[:, :, h * d : (h + 1) * d]  # [NB, T, d] dtype-native
 
         # dv[s] = sum_t p[t,s] do[t];   dp[t,s] = do[t] . v[s]
-        dv = _bdot(probs, do, 1, 1)  # [NB, S, d]
-        dp = _bdot(do, v, 2, 2)  # [NB, T, S]
+        probs_c = probs.astype(dt)
+        dv = _bdot(probs_c, do, 1, 1)  # [NB, S, d] f32
+        dp = _bdot(do, v, 2, 2)  # [NB, T, S] f32
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
         dbias_ref[h % dbias_ref.shape[0]] += jnp.sum(ds, axis=0)
 
-        # dq[t] = scale * sum_s ds[t,s] k[s];  dk[s] = sum_t ds[t,s] qs[t]
-        dq = scale * _bdot(ds, k, 2, 1)  # [NB, T, d]
-        dk = _bdot(ds, qs, 1, 1)  # [NB, S, d]
+        # dq[t] = scale * sum_s ds[t,s] k[s];  dk[s] = scale * sum_t ds[t,s] q[t]
+        ds_c = ds.astype(dt)
+        dq = _bdot(ds_c, k, 2, 1) * scale  # [NB, T, d]
+        dk = _bdot(ds_c, q, 1, 1) * scale  # [NB, S, d]
         odt = dqkv_ref.dtype
         dqs.append(dq.astype(odt))
         dks.append(dk.astype(odt))
@@ -288,6 +300,28 @@ def _flatten_windows(x, ws: int, p: int):
     return parts[0] if p == 1 else jnp.concatenate(parts, axis=1)
 
 
+def _group_windows(x, ws: int, tile_pack: int, mm_pack: int):
+    """[NB, ws, tile_pack*ws, F] -> list of [NB, mm_pack*ws*ws, F].
+
+    The DMA tile covers a full row of ``tile_pack`` windows (Mosaic's
+    block-shape rule), but the attention MATMULS run per group of
+    ``mm_pack`` windows — the flatten produces per-window pieces anyway,
+    so grouping them into packed problems costs nothing and avoids the
+    O(tile_pack/mm_pack)x wasted cross-window logits a dense
+    [tile_pack*ws*ws]^2 attention would compute."""
+    nb = x.shape[0]
+    f = x.shape[-1]
+    parts = [
+        x[:, :, j * ws : (j + 1) * ws, :].reshape(nb, ws * ws, f)
+        for j in range(tile_pack)
+    ]
+    groups = []
+    for g in range(tile_pack // mm_pack):
+        sub = parts[g * mm_pack : (g + 1) * mm_pack]
+        groups.append(sub[0] if mm_pack == 1 else jnp.concatenate(sub, axis=1))
+    return groups
+
+
 def _unflatten_windows(t, ws: int, p: int):
     """[NB, p*ws*ws, F] -> [NB, ws, p*ws, F]."""
     nb = t.shape[0]
@@ -300,35 +334,41 @@ def _unflatten_windows(t, ws: int, p: int):
 
 
 def _fwd_kernel_spatial(qkv_ref, bias_ref, mask_ref, out_ref, *, nheads,
-                        scale, ws, pack):
-    nb = qkv_ref.shape[0]
+                        scale, ws, tile_pack, mm_pack):
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
     d = c // nheads
-    t = pack * ws * ws
-    x = _flatten_windows(qkv_ref[...], ws, pack)  # [NB, T, 3C]
-    mask = mask_ref[0][None]
-    outs = []
-    for h in range(nheads):
-        q, k, v = _head_slices(x, c, d, h)
-        logits = _bdot(q * scale, k, 2, 2)
-        logits = logits + bias_ref[h % bias_ref.shape[0]][None] + mask
-        probs = jax.nn.softmax(logits, axis=-1)
-        outs.append(_bdot(probs, v, 2, 1).astype(out_ref.dtype))
-    out = jnp.concatenate(outs, axis=-1)  # [NB, T, C]
-    out_ref[...] = _unflatten_windows(out, ws, pack)
+    groups = _group_windows(qkv_ref[...], ws, tile_pack, mm_pack)
+    shared_mask = mask_ref.shape[0] == 1
+    out_groups = []
+    for gi, x in enumerate(groups):
+        mask = mask_ref[0 if shared_mask else gi][None]
+        outs = []
+        for h in range(nheads):
+            q, k, v = _head_slices(x, c, d, h)
+            logits = _bdot(q, k, 2, 2) * scale
+            logits = logits + bias_ref[h % bias_ref.shape[0]][None] + mask
+            probs = jax.nn.softmax(logits, axis=-1)
+            outs.append(
+                _bdot(probs.astype(x.dtype), v, 2, 1).astype(out_ref.dtype)
+            )
+        out = jnp.concatenate(outs, axis=-1)  # [NB, Tmm, C]
+        out_groups.append(_unflatten_windows(out, ws, mm_pack))
+    out_ref[...] = (
+        out_groups[0]
+        if len(out_groups) == 1
+        else jnp.concatenate(out_groups, axis=2)
+    )
 
 
 def _bwd_kernel_spatial(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref,
-                        dbias_ref, *, nheads, scale, ws, pack):
-    nb = qkv_ref.shape[0]
+                        dbias_ref, *, nheads, scale, ws, tile_pack, mm_pack):
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
-    c_out = c
     d = c // nheads
-    x = _flatten_windows(qkv_ref[...], ws, pack)  # [NB, T, 3C]
-    doh = _flatten_windows(do_ref[...], ws, pack)  # [NB, T, C]
-    mask = mask_ref[0][None]
+    groups = _group_windows(qkv_ref[...], ws, tile_pack, mm_pack)
+    do_groups = _group_windows(do_ref[...], ws, tile_pack, mm_pack)
+    shared_mask = mask_ref.shape[0] == 1
 
     first = jnp.logical_and(
         jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
@@ -339,53 +379,95 @@ def _bwd_kernel_spatial(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref,
     def _init():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    dqs, dks, dvs = [], [], []
-    for h in range(nheads):
-        q, k, v = _head_slices(x, c, d, h)
-        qs = q * scale
-        logits = _bdot(qs, k, 2, 2) + bias_ref[h % bias_ref.shape[0]][None] + mask
-        probs = jax.nn.softmax(logits, axis=-1)
-        do = doh[:, :, h * d : (h + 1) * d].astype(jnp.float32)
-        dv = _bdot(probs, do, 1, 1)
-        dp = _bdot(do, v, 2, 2)
-        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-        dbias_ref[h % dbias_ref.shape[0]] += jnp.sum(ds, axis=0)
-        dq = scale * _bdot(ds, k, 2, 1)
-        dk = _bdot(ds, qs, 1, 1)
-        odt = dqkv_ref.dtype
-        dqs.append(dq.astype(odt))
-        dks.append(dk.astype(odt))
-        dvs.append(dv.astype(odt))
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [NB, T, 3C]
-    dqkv_ref[...] = _unflatten_windows(dqkv, ws, pack)
+    dqkv_groups = []
+    for gi, (x, doh) in enumerate(zip(groups, do_groups)):
+        mask = mask_ref[0 if shared_mask else gi][None]
+        dqs, dks, dvs = [], [], []
+        dt = x.dtype
+        for h in range(nheads):
+            q, k, v = _head_slices(x, c, d, h)
+            logits = _bdot(q, k, 2, 2) * scale
+            logits = logits + bias_ref[h % bias_ref.shape[0]][None] + mask
+            probs = jax.nn.softmax(logits, axis=-1)
+            do = doh[:, :, h * d : (h + 1) * d]
+            probs_c = probs.astype(dt)
+            dv = _bdot(probs_c, do, 1, 1)
+            dp = _bdot(do, v, 2, 2)
+            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+            dbias_ref[h % dbias_ref.shape[0]] += jnp.sum(ds, axis=0)
+            ds_c = ds.astype(dt)
+            dq = _bdot(ds_c, k, 2, 1) * scale
+            dk = _bdot(ds_c, q, 1, 1) * scale
+            odt = dqkv_ref.dtype
+            dqs.append(dq.astype(odt))
+            dks.append(dk.astype(odt))
+            dvs.append(dv.astype(odt))
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [NB, Tmm, 3C]
+        dqkv_groups.append(_unflatten_windows(dqkv, ws, mm_pack))
+    dqkv_ref[...] = (
+        dqkv_groups[0]
+        if len(dqkv_groups) == 1
+        else jnp.concatenate(dqkv_groups, axis=2)
+    )
 
 
-def _pick_nb_spatial(b: int, t: int, c: int, h: int, backward: bool) -> int:
+def _vmem_estimate_spatial(
+    nb: int, ws: int, tile_pack: int, mm: int, c: int, h: int, backward: bool
+) -> int:
+    """VMEM bytes for one spatial grid cell: the DMA tile holds
+    ``tile_pack`` windows, while the per-head attention temporaries are
+    sized by the ``mm``-window matmul groups.  Mosaic keeps the unrolled
+    group x head temporaries live, so they are charged fully."""
+    t = mm * ws * ws
+    tile_tokens = ws * tile_pack * ws
+    groups = tile_pack // mm
+    qkv = nb * tile_tokens * 3 * c * 2 * 2  # bf16 tile, double-buffered
+    per_head = (
+        (4 if backward else 2) * nb * t * max(t, 128) * 4
+        + (3 if backward else 1) * nb * t * 128 * (4 + 2)
+    )
+    out = nb * tile_tokens * (3 * c if backward else c) * 2 * 2
+    bias = h * t * t * 4 + groups * t * t * 4
+    return qkv + groups * h * per_head + out + bias
+
+
+def _pick_nb_spatial(
+    b: int, ws: int, tile_pack: int, mm: int, c: int, h: int, backward: bool
+) -> int:
     for nb in (8, 4, 2, 1):
-        if b % nb == 0 and _vmem_estimate(nb, t, c, h, backward) <= 40 * 1024 * 1024:
+        if b % nb == 0 and _vmem_estimate_spatial(
+            nb, ws, tile_pack, mm, c, h, backward
+        ) <= 40 * 1024 * 1024:
             return nb
     return 1
 
 
 def spatial_window_attention_available(
-    hp: int, wp: int, ws: int, c: int, num_heads: int, pack: int
+    hp: int, wp: int, ws: int, c: int, num_heads: int, pack: int,
+    mm_pack: int | None = None,
 ) -> bool:
-    """Spatial-layout dispatch: same VMEM/lane rules as the packed kernel
-    plus a Mosaic-legal spatial tile.
+    """Spatial-layout dispatch: same lane rules as the packed kernel plus
+    a Mosaic-legal spatial tile.
 
     Mosaic requires the last two dims of a block shape to be divisible by
     (8, 128) or EQUAL to the full array dims; the qkv block is
     [nb, ws, pack*ws, 3C], so the width tile ``pack*ws`` must equal Wp or
     be a multiple of 8 (with ws=7 that means pack covering the full row —
-    the caller picks ``pack = Wp // ws``)."""
-    if hp % ws != 0 or wp % (pack * ws) != 0:
+    the caller picks ``pack = Wp // ws``).  ``mm_pack`` (default = pack)
+    sets the in-kernel attention group size and must divide pack."""
+    mm = pack if mm_pack is None else mm_pack
+    if hp % ws != 0 or wp % (pack * ws) != 0 or pack % mm != 0:
         return False
     if pack * ws != wp and (pack * ws) % 8 != 0:
         return False
-    return window_attention_available(pack * ws * ws, c, num_heads)
+    if c % 128 != 0 or c % num_heads != 0:
+        return False
+    return _vmem_estimate_spatial(
+        1, ws, pack, mm, c, num_heads, backward=True
+    ) <= 40 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_window_attention_spatial(
     qkv: jnp.ndarray,
     bias: jnp.ndarray,
@@ -393,6 +475,7 @@ def flash_window_attention_spatial(
     num_heads: int,
     window_size: int,
     pack: int = 1,
+    mm_pack: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Windowed MHSA straight from the spatial qkv map.
@@ -400,36 +483,49 @@ def flash_window_attention_spatial(
     Args:
       qkv:  [B, Hp, Wp, 3C] — qkv projection output in image layout
             (already shifted/padded by the caller when applicable).
-      bias: [H, T, T] fp32 packed relative-position bias (T = pack*ws*ws).
-      mask: [nW/pack, T, T] or [1, T, T] fp32 additive mask.
-      num_heads / window_size / pack: attention geometry; Hp % ws == 0 and
+      bias: [H, T, T] fp32 packed relative-position bias (T = mm*ws*ws).
+      mask: [nW/mm, T, T] or [1, T, T] fp32 additive mask.
+      num_heads / window_size / pack: DMA-tile geometry; Hp % ws == 0 and
             Wp % (pack*ws) == 0 (see ``spatial_window_attention_available``).
+      mm_pack: windows per attention MATMUL group (default = pack).  The
+            DMA tile still spans ``pack`` windows — Mosaic's block-shape
+            rule — but the logits are computed per mm_pack-window group,
+            so a full-row tile no longer pays dense cross-window FLOPs.
 
     Returns: [B, Hp, Wp, C] in qkv.dtype — window partition AND reverse are
     absorbed into the kernel's block DMA.
     """
-    out, _ = _fwd_spatial(qkv, bias, mask, num_heads, window_size, pack, interpret)
+    out, _ = _fwd_spatial(
+        qkv, bias, mask, num_heads, window_size, pack, mm_pack, interpret
+    )
     return out
 
 
-def _spatial_mask_spec(t: int, w_mask: int, nwxg: int):
+def _spatial_mask_spec(t: int, w_mask: int, gpt: int, nwxg: int):
+    """Mask block per grid cell: the cell's ``gpt`` consecutive window
+    groups (block-unit index = the cell's flat tile index)."""
     if w_mask == 1:
         return pl.BlockSpec((1, t, t), lambda bb, wy, wxg: (0, 0, 0))
-    return pl.BlockSpec((1, t, t), lambda bb, wy, wxg: (wy * nwxg + wxg, 0, 0))
+    return pl.BlockSpec(
+        (gpt, t, t), lambda bb, wy, wxg: (wy * nwxg + wxg, 0, 0)
+    )
 
 
-def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, interpret):
+def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, mm_pack, interpret):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
-    t = pack * ws * ws
+    mm = pack if mm_pack is None else mm_pack
+    t = mm * ws * ws
+    gpt = pack // mm  # mask groups per DMA tile
     scale = (c // num_heads) ** -0.5
     nwy = hp // ws
     nwxg = wp // (pack * ws)
-    nb = _pick_nb_spatial(b, t, c, num_heads, backward=False)
+    nb = _pick_nb_spatial(b, ws, pack, mm, c, num_heads, backward=False)
     interp = _interpret_default() if interpret is None else interpret
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel_spatial, nheads=num_heads, scale=scale, ws=ws, pack=pack
+            _fwd_kernel_spatial, nheads=num_heads, scale=scale, ws=ws,
+            tile_pack=pack, mm_pack=mm,
         ),
         grid=(b // nb, nwy, nwxg),
         in_specs=[
@@ -439,7 +535,7 @@ def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, interpret):
             pl.BlockSpec(
                 (bias.shape[0], t, t), lambda bb, wy, wxg: (0, 0, 0)
             ),
-            _spatial_mask_spec(t, mask.shape[0], nwxg),
+            _spatial_mask_spec(t, mask.shape[0], gpt, nwxg),
         ],
         out_specs=pl.BlockSpec(
             (nb, ws, pack * ws, c), lambda bb, wy, wxg: (bb, wy, wxg, 0)
@@ -454,19 +550,22 @@ def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, interpret):
     return out, (qkv, bias, mask)
 
 
-def _bwd_spatial(num_heads, ws, pack, interpret, res, dout):
+def _bwd_spatial(num_heads, ws, pack, mm_pack, interpret, res, dout):
     qkv, bias, mask = res
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
-    t = pack * ws * ws
+    mm = pack if mm_pack is None else mm_pack
+    t = mm * ws * ws
+    gpt = pack // mm
     scale = (c // num_heads) ** -0.5
     nwy = hp // ws
     nwxg = wp // (pack * ws)
-    nb = _pick_nb_spatial(b, t, c, num_heads, backward=True)
+    nb = _pick_nb_spatial(b, ws, pack, mm, c, num_heads, backward=True)
     interp = _interpret_default() if interpret is None else interpret
     dqkv, dbias = pl.pallas_call(
         functools.partial(
-            _bwd_kernel_spatial, nheads=num_heads, scale=scale, ws=ws, pack=pack
+            _bwd_kernel_spatial, nheads=num_heads, scale=scale, ws=ws,
+            tile_pack=pack, mm_pack=mm,
         ),
         grid=(b // nb, nwy, nwxg),
         in_specs=[
@@ -476,7 +575,7 @@ def _bwd_spatial(num_heads, ws, pack, interpret, res, dout):
             pl.BlockSpec(
                 (bias.shape[0], t, t), lambda bb, wy, wxg: (0, 0, 0)
             ),
-            _spatial_mask_spec(t, mask.shape[0], nwxg),
+            _spatial_mask_spec(t, mask.shape[0], gpt, nwxg),
             pl.BlockSpec(
                 (nb, ws, pack * ws, c), lambda bb, wy, wxg: (bb, wy, wxg, 0)
             ),

@@ -377,6 +377,8 @@ def test_swin_spatial_kernel_path_matches_xla_path():
          (2, 56, 56, 3)),
         (dict(img_size=64, embed_dim=128, depths=(2,), num_heads=(4,)),
          (2, 64, 64, 3)),  # 16x16 map pads to 21 -> exercises pad masks
+        (dict(img_size=224, embed_dim=128, depths=(2,), num_heads=(4,)),
+         (1, 224, 224, 3)),  # 56x56 map: full-row tile 8, mm groups of 2
     ]:
         x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
         m_off = Swin(SwinConfig(attn_kernel="off", **kw))
@@ -412,5 +414,62 @@ def test_spatial_kernel_availability_and_forcing_errors():
     assert not spatial_window_attention_available(56, 56, 7, 128, 4, 2)
     # Wp not a multiple of pack*ws -> refuse
     assert not spatial_window_attention_available(14, 21, 7, 512, 16, 2)
+    # matmul group must divide the tile pack
+    assert spatial_window_attention_available(56, 56, 7, 128, 4, 8, 2)
+    assert not spatial_window_attention_available(56, 56, 7, 128, 4, 8, 3)
     with pytest.raises(ValueError, match="attn_kernel='spatial'"):
-        _use_spatial_kernel("spatial", 14, 14, 7, 192, 3, 2)  # C=192
+        _use_spatial_kernel("spatial", 14, 14, 7, 192, 3, 2, 2)  # C=192
+
+
+def test_spatial_kernel_mm_pack_matches_dense_pack():
+    """mm_pack groups (packed-problem-size matmuls inside a full-row DMA
+    tile) must agree with the dense full-tile attention: same math, the
+    cross-window logits the dense form masks off are simply never
+    computed."""
+    from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
+        flash_window_attention_spatial,
+    )
+
+    b, hp, wp, ws, c, h = 2, 14, 28, 7, 128, 4
+    tile = wp // ws  # 4
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, hp, wp, 3 * c), jnp.float32)
+
+    def run(mm):
+        t = mm * ws * ws
+        n = ws * ws
+        bias1 = jax.random.normal(jax.random.PRNGKey(1), (h, n, n), jnp.float32) * 0.1
+        # expand the per-window bias to the mm-packed grid with cross seal
+        eye = jnp.eye(mm)
+        bias = jnp.einsum("pq,hnm->hpnqm", eye, bias1).reshape(h, t, t)
+        bias = bias + (-100.0) * (
+            1.0 - jnp.repeat(jnp.repeat(eye, n, axis=0), n, axis=1)
+        )[None]
+        mask = jnp.zeros((1, t, t), jnp.float32)
+        out = flash_window_attention_spatial(qkv, bias, mask, h, ws, tile, mm)
+        return out
+
+    np.testing.assert_allclose(
+        np.asarray(run(2)), np.asarray(run(4)), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(run(1)), np.asarray(run(2)), atol=2e-4
+    )
+
+    # gradients agree too (dense pack-4 vs paired pack-2)
+    def loss(mm):
+        return lambda q: jnp.sum(jnp.sin(run_g(q, mm)))
+
+    def run_g(q, mm):
+        t = mm * ws * ws
+        bias = jnp.zeros((h, t, t), jnp.float32) + (-100.0) * (
+            1.0
+            - jnp.repeat(
+                jnp.repeat(jnp.eye(mm), ws * ws, axis=0), ws * ws, axis=1
+            )
+        )[None]
+        mask = jnp.zeros((1, t, t), jnp.float32)
+        return flash_window_attention_spatial(q, bias, mask, h, ws, tile, mm)
+
+    g2 = jax.grad(loss(2))(qkv)
+    g4 = jax.grad(loss(4))(qkv)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g4), atol=2e-3)
