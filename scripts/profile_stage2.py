@@ -106,13 +106,17 @@ def main() -> int:
 
     def timed(fn, *fargs):
         out = fn(*fargs)
-        jnp.sum(out if not isinstance(out, tuple) else out[0])
         float(jnp.sum(out if not isinstance(out, tuple) else out[0]).astype(jnp.float32))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(*fargs)
-        float(jnp.sum(out if not isinstance(out, tuple) else out[0]).astype(jnp.float32))
-        return (time.perf_counter() - t0) / args.iters * 1e3
+        best = None
+        # two loops, keep the faster (first-loop tunnel ramp, see bench.py)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fn(*fargs)
+            float(jnp.sum(out if not isinstance(out, tuple) else out[0]).astype(jnp.float32))
+            took = (time.perf_counter() - t0) / args.iters * 1e3
+            best = took if best is None else min(best, took)
+        return best
 
     wanted = {v.strip() for v in args.variants.split(",")}
     results = {}
