@@ -434,10 +434,13 @@ def _vmem_estimate_spatial(
 def _pick_nb_spatial(
     b: int, ws: int, tile_pack: int, mm: int, c: int, h: int, backward: bool
 ) -> int:
-    for nb in (8, 4, 2, 1):
+    # 64 MB budget (vs the packed kernel's 40): mm-group temporaries are
+    # small, and larger batch blocks measurably amortize per-cell overhead
+    # (stage0 f+b 8.47 -> 7.63 ms, stage2 4.18 -> 3.97 at nb 16/8 vs 8/4)
+    for nb in (32, 16, 8, 4, 2, 1):
         if b % nb == 0 and _vmem_estimate_spatial(
             nb, ws, tile_pack, mm, c, h, backward
-        ) <= 40 * 1024 * 1024:
+        ) <= 64 * 1024 * 1024:
             return nb
     return 1
 
@@ -464,7 +467,7 @@ def spatial_window_attention_available(
         return False
     return _vmem_estimate_spatial(
         1, ws, pack, mm, c, num_heads, backward=True
-    ) <= 40 * 1024 * 1024
+    ) <= 64 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

@@ -60,15 +60,21 @@ def bench_step(step_fn, carry, args, iters):
     out = step_fn(carry, *args) if carry is not None else step_fn(*args)
     loss = out[1] if isinstance(out, tuple) else out
     float(loss)  # fence (axon block_until_ready is unreliable)
-    t0 = time.perf_counter()
     c = out[0] if isinstance(out, tuple) else None
-    for _ in range(iters):
-        out = step_fn(c, *args) if c is not None else step_fn(*args)
-        if isinstance(out, tuple):
-            c = out[0]
-    loss = out[1] if isinstance(out, tuple) else out
-    float(loss)
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = None
+    # two loops, keep the faster: the first ~20 executions of a freshly
+    # loaded program run above steady state (see bench.py)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step_fn(c, *args) if c is not None else step_fn(*args)
+            if isinstance(out, tuple):
+                c = out[0]
+        loss = out[1] if isinstance(out, tuple) else out
+        float(loss)
+        took = (time.perf_counter() - t0) / iters * 1e3
+        best = took if best is None else min(best, took)
+    return best
 
 
 def run_variant(variant: str, batch: int, iters: int) -> float:
@@ -169,11 +175,14 @@ def run_variant(variant: str, batch: int, iters: int) -> float:
         loss = step(packed, images_u8, labels, key)
         float(loss)
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            loss = step(packed, images_u8, labels, key)
-        float(loss)
-        ms = (time.perf_counter() - t0) / iters * 1e3
+        ms = None
+        for _ in range(2):  # steady-state: keep the faster loop
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                loss = step(packed, images_u8, labels, key)
+            float(loss)
+            took = (time.perf_counter() - t0) / iters * 1e3
+            ms = took if ms is None else min(ms, took)
         print(f"VARIANT {variant}: {ms:.2f} ms (compile {compile_s:.0f}s)", flush=True)
         return ms
 
