@@ -23,8 +23,12 @@ window-attention kernel + fast-FFT rotate: 64 -> 197.5 img/s/chip, 1.10x
 the A100 estimate; history: 16 -> 118.4, 32 -> 124.8 pre-kernel; 32 ->
 186.0, 64 -> 192.2 with the kernel), BENCH_STEPS (default 20),
 BENCH_PRESET=small for a vit-small quick run, BENCH_PRESET=large for the
-reference's swin_large flagship config, BENCH_MODE=infer to measure
-the specialized single-pass serving path instead of the train step.
+reference's swin_large flagship config (needs BENCH_BATCH=32
+BENCH_REMAT=block — B=64 with attn remat exceeds 16 GB HBM; measured
+round 3: 83.1 img/s/chip, step 385 ms at B=32; note the default
+vs_baseline denominator is the swin-BASE A100 estimate and does not
+apply to this preset), BENCH_MODE=infer to measure the specialized
+single-pass serving path instead of the train step.
 (Note: on the axon tunnel the swin-base BENCH_MODE=infer FIRST compile can
 exceed the remote-compile service's connection timeout; use
 BENCH_PRESET=small or a pre-warmed .jax_cache.)
