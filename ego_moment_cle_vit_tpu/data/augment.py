@@ -362,15 +362,22 @@ def _dft_shift_last(
     cos, sin, icw, isw = (jnp.asarray(m) for m in _dft_matrices(n))
     nf = n // 2 + 1
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, n - w - pad)))
-    f_re = xp @ cos  # [C, R, nf]
-    f_im = -(xp @ sin)
+    # HIGHEST precision: the default TPU matmul rounds f32 operands to
+    # bf16, which would break the docstring's 'exact to f32 rounding'
+    # contract (and diverge from the _fft_shift_last reference path that
+    # the CPU-mesh parity tests compare against).  The DFT matrices are
+    # [~272, ~137] — the multi-pass cost is negligible vs the step.
+    hp = jax.lax.Precision.HIGHEST
+    f_re = jnp.matmul(xp, cos, precision=hp)  # [C, R, nf]
+    f_im = -jnp.matmul(xp, sin, precision=hp)
     th = (2.0 * jnp.pi / n) * shifts[:, None].astype(jnp.float32) * jnp.arange(
         nf, dtype=jnp.float32
     )[None, :]  # [R, nf]
     p_re, p_im = jnp.cos(th), -jnp.sin(th)
     g_re = f_re * p_re[None] - f_im * p_im[None]
     g_im = f_re * p_im[None] + f_im * p_re[None]
-    out = g_re @ icw - g_im @ isw  # real irfft of the Hermitian spectrum
+    # real irfft of the Hermitian spectrum
+    out = jnp.matmul(g_re, icw, precision=hp) - jnp.matmul(g_im, isw, precision=hp)
     return out[..., pad : pad + w]
 
 

@@ -67,6 +67,14 @@ class DeviceDatasetCache:
         import jax
         import jax.numpy as jnp
 
+        # the gather OUTPUT is sharded over the mesh data axis, so its batch
+        # dim must divide it: round the batch up and wrap-pad (same policy
+        # as the tail batch below).  Hit in practice by small real splits —
+        # e.g. a 6-sample val split on an 8-device mesh.
+        if mesh is not None:
+            axis = int(mesh.shape[data_axis])
+            if batch_size % axis:
+                batch_size = -(-batch_size // axis) * axis
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -132,8 +140,10 @@ class DeviceDatasetCache:
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             if len(idx) < self.batch_size:
                 # static shapes for XLA: pad the tail batch by wrapping
+                # (np.resize cycles `order`, so splits SMALLER than the
+                # batch pad correctly too)
                 idx = np.concatenate(
-                    [idx, order[: self.batch_size - len(idx)]]
+                    [idx, np.resize(order, self.batch_size - len(idx))]
                 )
             yield self._gather(
                 self._images, self._labels, jnp.asarray(idx, jnp.int32)

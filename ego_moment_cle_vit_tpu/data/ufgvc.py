@@ -280,9 +280,16 @@ class SyntheticUFGDataset:
         if not self.learnable:
             img = rng.integers(0, 256, (s, s, 3), dtype=np.uint8)
             return img, label
-        # class signal: tint + low-frequency grating, + strong noise
+        # class signal: tint + low-frequency grating, + strong noise.  Tints
+        # sit on a maximally separated color circle (pairwise channel
+        # distance >> noise sigma) — randomly drawn tints can collide within
+        # the noise for nearby labels, capping accuracy below memorization
+        # and making the learning tests flaky.
         crng = np.random.default_rng(9999 + label)
-        tint = crng.uniform(60, 200, 3)
+        ang = 2.0 * np.pi * label / max(self.num_classes, 1)
+        tint = 128.0 + 80.0 * np.cos(
+            ang + np.array([0.0, 2.0 * np.pi / 3.0, 4.0 * np.pi / 3.0])
+        )
         freq = crng.uniform(1.5, 6.0)
         phase = crng.uniform(0, 2 * np.pi)
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s

@@ -68,17 +68,26 @@ class GraphPolynomialFusion(nn.Module):
 
         if self.use_pallas:
             from ..ops.pallas import fused_gpf_available, fused_gpf_pallas
+            from ..ops.pallas.gpf import fused_gpf_fits
+            from ..parallel.shard_kernels import maybe_shard_map_batch
 
-            _, n, d = tokens_anchor.shape
-            if fused_gpf_available(n, d):
+            b, n, d = tokens_anchor.shape
+
+            def kernel(a, p, c):
                 return fused_gpf_pallas(
-                    tokens_anchor,
-                    tokens_positive,
-                    coeffs,
-                    self.similarity,
-                    self.eps,
-                    self.symmetric_enforce,
+                    a, p, c, self.similarity, self.eps, self.symmetric_enforce
                 )
+
+            if fused_gpf_available(n, d):
+                return kernel(tokens_anchor, tokens_positive, coeffs)
+            if fused_gpf_fits(n, d):
+                # multi-device mesh: each shard runs the kernel on its local
+                # batch block via shard_map (parallel.shard_kernels); the
+                # replicated coeffs' grad psums over the data axis — same
+                # reduction XLA autodiff performs on the fallback path
+                wrapped = maybe_shard_map_batch(kernel, b, (True, True, False))
+                if wrapped is not None:
+                    return wrapped(tokens_anchor, tokens_positive, coeffs)
 
         r_a = token_similarity_graph(tokens_anchor, self.similarity, self.eps)
         r_p = token_similarity_graph(tokens_positive, self.similarity, self.eps)
@@ -109,6 +118,11 @@ class AdaptiveGraphPolynomialFusion(nn.Module):
     learns a per-token-position coefficient delta table (the "separate
     coefficients for each spatial position" the reference's docstring
     promises, gpf_kernel.py:181-182,206-209).
+
+    Dispatch note: the adaptive variants do NOT use the fused GPF Pallas
+    kernel (its coefficients are a single [P+1, Q+1] table); 'attention'
+    vmaps the per-sample fusion and 'spatial' runs the row-modulated
+    polynomial in XLA.  See docs/PERFORMANCE.md.
     """
 
     degree_p: int = 2

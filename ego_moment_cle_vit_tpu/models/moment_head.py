@@ -135,19 +135,27 @@ class MomentHead(nn.Module):
                 c, v, self.isqrt_iterations, self.eps
             )
         else:
-            use_kernel = False
+            ns = None
             if self.use_pallas:
                 from ..ops.pallas import (
                     newton_schulz_available,
                     newton_schulz_isqrt_pallas,
                 )
+                from ..ops.pallas.newton_schulz import newton_schulz_fits
+                from ..parallel.shard_kernels import maybe_shard_map_batch
 
-                use_kernel = newton_schulz_available(d_tok)
-            if use_kernel:
-                ns = lambda m: newton_schulz_isqrt_pallas(
+                kern = lambda m: newton_schulz_isqrt_pallas(
                     m, self.isqrt_iterations, self.eps
                 )
-            else:
+                if newton_schulz_available(d_tok):
+                    ns = kern
+                elif newton_schulz_fits(d_tok):
+                    # multi-device mesh: per-shard kernel via shard_map
+                    # (parallel.shard_kernels)
+                    ns = maybe_shard_map_batch(
+                        kern, tokens.shape[0], (True,)
+                    )
+            if ns is None:
                 ns = lambda m: newton_schulz_isqrt(
                     m, num_iterations=self.isqrt_iterations, eps=self.eps
                 )

@@ -53,22 +53,36 @@ _SPATIAL_IN_AUTO = True
 # per mm_pack-window group (mm_pack = 2 when the row divides evenly) — the
 # same problem size as the packed-layout kernel — so the full-row tile no
 # longer pays dense cross-window logits, and the partition/reverse DMA
-# savings are profit at every stage.  _SPATIAL_MAX_PACK now bounds the
-# MATMUL group (mm_pack), kept as an A/B override hook.
-_SPATIAL_MAX_PACK = 2
+# savings are profit at every stage.  _SPATIAL_MAX_PACK bounds the MATMUL
+# group (mm_pack); env override EMCT_SPATIAL_MAX_PACK for on-chip A/Bs
+# (larger groups trade wasted cross-window FLOPs for fewer, better-utilized
+# matmul/softmax problems).
+import os as _os
+
+_SPATIAL_MAX_PACK = int(_os.environ.get("EMCT_SPATIAL_MAX_PACK", "2"))
 
 
 def _spatial_mm_pack(tile_pack: int) -> int:
-    """Attention matmul group size for the spatial kernel: pairs when the
-    row divides evenly (same FLOPs as the packed kernel's raster pack)."""
-    mm = 2 if tile_pack % 2 == 0 else 1
-    return min(mm, _SPATIAL_MAX_PACK) if _SPATIAL_MAX_PACK >= 1 else mm
+    """Attention matmul group size for the spatial kernel: the largest
+    divisor of ``tile_pack`` that is <= ``_SPATIAL_MAX_PACK`` (so the A/B
+    hook genuinely bounds the matmul group both ways — raising it above 2
+    selects bigger groups when the row divides, values < 1 clamp to 1).
+    Default 2: pairs match the packed kernel's raster-pack FLOPs."""
+    cap = max(1, _SPATIAL_MAX_PACK)
+    mm = 1
+    for d in range(2, tile_pack + 1):
+        if tile_pack % d == 0 and d <= cap:
+            mm = d
+    return mm
 
 
 def _use_spatial_kernel(mode: str, hp: int, wp: int, ws: int, c: int,
-                        num_heads: int, pack: int, mm: int) -> bool:
+                        num_heads: int, pack: int, mm: int,
+                        batch: int | None = None) -> str | None:
     """'spatial' forces the spatial-layout kernel; 'auto' picks it on a
-    single-device TPU where it measured faster."""
+    single-device TPU where it measured faster, or — under a multi-device
+    mesh with SPMD kernel dispatch on (parallel.shard_kernels) — via a
+    per-shard ``shard_map`` wrap.  Returns 'direct', 'spmd', or None."""
     if mode == "spatial":
         if not spatial_window_attention_available(
             hp, wp, ws, c, num_heads, pack, mm
@@ -80,25 +94,39 @@ def _use_spatial_kernel(mode: str, hp: int, wp: int, ws: int, c: int,
                 "multiple of 128 and of num_heads, Wp a multiple of pack*ws, "
                 "mm must divide pack, and the tile must fit VMEM"
             )
-        return True
+        return _kernel_dispatch_kind(batch, forced=True)
     if mode != "auto" or not _SPATIAL_IN_AUTO:
-        return False
-    return (
-        _single_tpu()
-        and spatial_window_attention_available(hp, wp, ws, c, num_heads, pack, mm)
-    )
+        return None
+    if not spatial_window_attention_available(hp, wp, ws, c, num_heads, pack, mm):
+        return None
+    return _kernel_dispatch_kind(batch, forced=False)
 
 
-def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
-    """Resolve the attn_kernel config ('auto'|'on'|'off') for one block.
+def _kernel_dispatch_kind(batch: int | None, forced: bool) -> str | None:
+    """'direct' on a single-device TPU (or for a forced mode off-mesh, e.g.
+    CPU interpret parity runs), 'spmd' when the shard_map dispatch applies,
+    else None ('auto' falls back to XLA)."""
+    from ..parallel.shard_kernels import spmd_kernels_enabled
 
-    'auto' enables the kernel only on a single-device TPU process: GSPMD
-    does not auto-partition ``pallas_call``, so sharded multi-chip runs
-    should either keep the XLA path or wrap the step in ``shard_map`` and
-    force 'on' explicitly.
+    if batch is not None and spmd_kernels_enabled(batch) is not None:
+        return "spmd"
+    if _single_tpu() or forced:
+        return "direct"
+    return None
+
+
+def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int,
+                     batch: int | None = None) -> str | None:
+    """Resolve the attn_kernel config ('auto'|'on'|'off') for one block:
+    'direct', 'spmd' (per-shard kernel via shard_map under a mesh —
+    parallel.shard_kernels), or None (XLA path).
+
+    'auto' engages the kernel on a single-device TPU process or under an
+    SPMD-enabled mesh; bare multi-device GSPMD keeps the XLA path (it
+    cannot partition ``pallas_call``).
     """
     if mode == "off":
-        return False
+        return None
     if mode == "on":
         # fail loudly on non-qualifying shapes instead of handing Mosaic an
         # unsupported problem (opaque compile error / silent interpret run)
@@ -110,12 +138,10 @@ def _use_attn_kernel(mode: str, t: int, c: int, num_heads: int) -> bool:
                 "num_heads and the per-window tile must fit VMEM; use "
                 "'auto' to fall back to the XLA path on such blocks"
             )
-        return True
-    return (
-        mode == "auto"
-        and _single_tpu()
-        and window_attention_available(t, c, num_heads)
-    )
+        return _kernel_dispatch_kind(batch, forced=True)
+    if mode != "auto" or not window_attention_available(t, c, num_heads):
+        return None
+    return _kernel_dispatch_kind(batch, forced=False)
 
 
 def _build_bias_bd(table: jnp.ndarray, ws: int, p: int, num_heads: int):
@@ -335,7 +361,7 @@ class WindowAttention(nn.Module):
     window_size: int
     pack: int = 1  # windows fused into one attention problem
     num_windows: int = 1  # windows per image (for the kernel-path layout)
-    use_kernel: bool = False
+    use_kernel: str | None = None  # None | 'direct' | 'spmd'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -371,7 +397,18 @@ class WindowAttention(nn.Module):
             wg = self.num_windows // p
             qkv4 = qkv.reshape(bnw // self.num_windows, wg, t, 3 * c)
             madd = m if m is not None else jnp.zeros((1, t, t), jnp.float32)
-            out = flash_window_attention(qkv4, bias, madd, self.num_heads)
+            fn = lambda q, bb, mm_: flash_window_attention(
+                q, bb, mm_, self.num_heads
+            )
+            if self.use_kernel == "spmd":
+                # per-shard kernel under a mesh (parallel.shard_kernels)
+                from ..parallel.shard_kernels import maybe_shard_map_batch
+
+                wrapped = maybe_shard_map_batch(
+                    fn, qkv4.shape[0], (True, False, False)
+                )
+                fn = wrapped if wrapped is not None else fn
+            out = fn(qkv4, bias, madd)
             out = out.reshape(bnw, n, c)
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -448,7 +485,7 @@ class SwinBlock(nn.Module):
         spatial_mm = _spatial_mm_pack(spatial_pack)
         use_spatial = _use_spatial_kernel(
             self.attn_kernel, hp, wp, ws, c, self.num_heads, spatial_pack,
-            spatial_mm,
+            spatial_mm, batch=b,
         )
 
         if use_spatial:
@@ -479,10 +516,15 @@ class SwinBlock(nn.Module):
                 if mask is not None
                 else jnp.zeros((1, t, t), jnp.float32)
             )
-            om = flash_window_attention_spatial(
-                qkv, bias_bd, madd, self.num_heads, ws, spatial_pack,
-                spatial_mm,
+            attn_fn = lambda q, bb, mm_: flash_window_attention_spatial(
+                q, bb, mm_, self.num_heads, ws, spatial_pack, spatial_mm
             )
+            if use_spatial == "spmd":
+                from ..parallel.shard_kernels import maybe_shard_map_batch
+
+                wrapped = maybe_shard_map_batch(attn_fn, b, (True, False, False))
+                attn_fn = wrapped if wrapped is not None else attn_fn
+            om = attn_fn(qkv, bias_bd, madd)
             om = om.astype(dt) @ wproj.astype(dt) + bproj.astype(dt)
             if shift > 0:
                 om = jnp.roll(om, shift=(shift, shift), axis=(1, 2))
@@ -502,7 +544,7 @@ class SwinBlock(nn.Module):
 
             windows = _window_partition(x, ws)  # [B*nW, ws*ws, C]
             use_kernel = _use_attn_kernel(
-                self.attn_kernel, pack * ws * ws, c, self.num_heads
+                self.attn_kernel, pack * ws * ws, c, self.num_heads, batch=b
             )
             # flash-attention-style remat: everything in the attention module
             # is saveable EXCEPT the named [*, pN, pN] logits/probs, which

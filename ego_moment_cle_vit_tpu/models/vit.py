@@ -53,6 +53,11 @@ class ViTConfig:
 # (test_implementation.py uses vit_tiny_patch16_224; BASELINE.json configs[0]
 # names DeiT-small).
 VIT_CONFIGS = {
+    # micro config for committed golden-logit fixtures and fast tests: small
+    # enough that a full-model checkpoint fits in the repo (~1 MB)
+    "vit_micro_patch16_64": ViTConfig(
+        img_size=64, embed_dim=64, depth=2, num_heads=2
+    ),
     "vit_tiny_patch16_224": ViTConfig(embed_dim=192, depth=12, num_heads=3),
     "vit_small_patch16_224": ViTConfig(embed_dim=384, depth=12, num_heads=6),
     "deit_tiny_patch16_224": ViTConfig(embed_dim=192, depth=12, num_heads=3),
@@ -84,19 +89,23 @@ class PatchEmbed(nn.Module):
         return x.reshape(b, h * w, d)
 
 
-def _resolve_attn_path(mode: str, t: int, c: int, num_heads: int) -> str:
+def _resolve_attn_path(
+    mode: str, t: int, c: int, num_heads: int, batch: int | None = None
+) -> str:
     """Pick the ViT attention implementation: 'window' (the fused
     whole-[T,T] kernel, T <= ~200), 'tiled' (q-tiled flash for long
     sequences, e.g. T=785 at 448 inputs), or 'none' (XLA fallback).
 
-    Same dispatch rules as swin._use_attn_kernel: 'auto' only engages
-    kernels on a single-device TPU process; 'on' forces whichever kernel
-    supports the shape and raises when neither does.
+    Same dispatch rules as swin._use_attn_kernel: 'auto' engages kernels on
+    a single-device TPU process, or — under an SPMD-enabled mesh
+    (parallel.shard_kernels) — via the per-shard shard_map wrap applied at
+    the Attention call site; 'on' forces whichever kernel supports the
+    shape and raises when neither does.
     """
     from ..ops.pallas.flash_attention import flash_attention_tiled_available
     from ..ops.pallas.window_attention import window_attention_available
 
-    from .swin import _single_tpu
+    from .swin import _kernel_dispatch_kind
 
     if mode == "off":
         return "none"
@@ -109,10 +118,10 @@ def _resolve_attn_path(mode: str, t: int, c: int, num_heads: int) -> str:
             "attn_kernel='on' requested but neither attention kernel "
             f"supports this shape (T={t}, C={c}, heads={num_heads})"
         )
-    if mode == "auto" and _single_tpu():
+    if mode == "auto" and _kernel_dispatch_kind(batch, forced=False) is not None:
         if window_attention_available(t, c, num_heads):
             return "window"
-        if flash_attention_tiled_available(t, c, num_heads):
+        if flash_attention_tiled_available(t, c, num_heads, platform="tpu"):
             return "tiled"
     return "none"
 
@@ -128,12 +137,19 @@ class Attention(nn.Module):
         head_dim = d // self.num_heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         if self.kernel_path == "tiled":
-            # q-tiled flash kernel: long sequences (ViT at 448: T=785)
+            # q-tiled flash kernel: long sequences (ViT at 448: T=785).
+            # Under an SPMD-enabled mesh the call is shard_map-wrapped so
+            # each device runs the kernel on its local batch block.
             from ego_moment_cle_vit_tpu.ops.pallas.flash_attention import (
                 flash_attention_tiled,
             )
+            from ego_moment_cle_vit_tpu.parallel.shard_kernels import (
+                maybe_shard_map_batch,
+            )
 
-            out = flash_attention_tiled(qkv, self.num_heads)
+            fn = lambda q: flash_attention_tiled(q, self.num_heads)
+            fn = maybe_shard_map_batch(fn, b, (True,)) or fn
+            out = fn(qkv)
             return nn.Dense(d, dtype=self.dtype, name="proj")(out)
         if self.kernel_path == "window":
             # same fused VMEM-resident kernel as Swin (W=1, zero bias/mask):
@@ -142,11 +158,16 @@ class Attention(nn.Module):
             from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
                 flash_window_attention,
             )
+            from ego_moment_cle_vit_tpu.parallel.shard_kernels import (
+                maybe_shard_map_batch,
+            )
 
             zeros = jnp.zeros((1, n, n), jnp.float32)
-            out = flash_window_attention(
-                qkv.reshape(b, 1, n, 3 * d), zeros, zeros, self.num_heads
-            ).reshape(b, n, d)
+            fn = lambda q, bb, mm_: flash_window_attention(
+                q, bb, mm_, self.num_heads
+            )
+            fn = maybe_shard_map_batch(fn, b, (True, False, False)) or fn
+            out = fn(qkv.reshape(b, 1, n, 3 * d), zeros, zeros).reshape(b, n, d)
             return nn.Dense(d, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,hd]
@@ -186,7 +207,7 @@ class TransformerBlock(nn.Module):
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
         kernel_path = _resolve_attn_path(
-            self.attn_kernel, x.shape[1], d, self.num_heads
+            self.attn_kernel, x.shape[1], d, self.num_heads, batch=x.shape[0]
         )
         if self.remat == "attn" and kernel_path == "none":
             # remat the [B, H, N, N] logits/probs only (see swin.py)

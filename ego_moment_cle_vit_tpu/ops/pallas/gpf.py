@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..graph import gpf_fuse, token_similarity_graph
 
 
+
+def _interpret_default() -> bool:
+    """Interpret mode off-TPU (same rule as window_attention): lets the
+    shard_map dispatch path and the CPU-mesh dryrun execute these kernels
+    without the force_tpu_interpret_mode context."""
+    return jax.default_backend() != "tpu"
+
 def _gpf_kernel(
     ta_ref,
     tp_ref,
@@ -93,6 +100,7 @@ def _forward(tokens_a, tokens_p, coeffs, *, similarity, eps, symmetric_enforce):
     flops_gram = 2 * 2 * n * n * d
     return pl.pallas_call(
         kernel,
+        interpret=_interpret_default(),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -233,6 +241,7 @@ def _backward(
     )
     dta, dtp, dc = pl.pallas_call(
         kernel,
+        interpret=_interpret_default(),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -327,11 +336,12 @@ def fused_gpf_available(
 
     The single-device requirement mirrors ``models.swin._single_tpu``:
     GSPMD cannot auto-partition ``pallas_call``, so a sharded multi-chip jit
-    must take the pure-XLA fallback (or wrap the step in ``shard_map`` and
-    call the kernel explicitly).  Without this check a real >1-chip TPU run
-    would trace the kernel inside a GSPMD-partitioned program and fail at
-    compile time (the capability the reference's own spec flags,
-    /root/reference/docs/spec.md:199-202).
+    must either take the pure-XLA fallback or go through the ``shard_map``
+    dispatch path (``parallel.shard_kernels`` + the ``fused_gpf_fits``
+    per-shard gate — models/gpf.py wires it).  Without this check a real
+    >1-chip TPU run would trace the kernel inside a GSPMD-partitioned
+    program and fail at compile time (the capability the reference's own
+    spec flags, /root/reference/docs/spec.md:199-202).
     """
     if platform is None:
         platform = jax.default_backend()
@@ -339,5 +349,12 @@ def fused_gpf_available(
         n_devices = len(jax.devices())
     if platform not in ("tpu",) or n_devices != 1:
         return False
+    return fused_gpf_fits(n, d)
+
+
+def fused_gpf_fits(n: int, d: int) -> bool:
+    """Shape-only VMEM check for ONE device — the per-shard gate for the
+    ``shard_map`` dispatch path (parallel.shard_kernels), where each mesh
+    device runs the kernel on its local batch block."""
     vmem_bytes = (2 * n * d + 6 * n * n) * 4
     return vmem_bytes < 12 * 1024 * 1024

@@ -33,6 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..moments import newton_schulz_isqrt
 
 
+
+def _interpret_default() -> bool:
+    """Interpret mode off-TPU (same rule as window_attention): lets the
+    shard_map dispatch path and the CPU-mesh dryrun execute these kernels
+    without the force_tpu_interpret_mode context."""
+    return jax.default_backend() != "tpu"
+
 def _ns_kernel(m_ref, out_ref, y_scr, z_scr, t_scr, *, num_iterations, eps):
     m = m_ref[0].astype(jnp.float32)  # [D, D]
     dim = m.shape[0]
@@ -67,6 +74,7 @@ def _forward(matrix, num_iterations, eps):
     kernel = partial(_ns_kernel, num_iterations=num_iterations, eps=eps)
     return pl.pallas_call(
         kernel,
+        interpret=_interpret_default(),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -244,6 +252,7 @@ def _forward_bf16(matrix, num_iterations, eps, force_streamed=False):
         ]
     y = pl.pallas_call(
         kernel,
+        interpret=_interpret_default(),
         grid=(b,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -327,8 +336,9 @@ def newton_schulz_available(
     """Kernel dispatch gate: single-device TPU process + a fitting variant.
 
     Single-device because GSPMD cannot auto-partition ``pallas_call`` — a
-    sharded multi-chip jit must use the XLA Newton–Schulz fallback (same
-    rule as ``models.swin._single_tpu`` and ``fused_gpf_available``).
+    sharded multi-chip jit must use the XLA Newton–Schulz fallback OR the
+    ``shard_map`` dispatch path (``parallel.shard_kernels`` +
+    ``newton_schulz_fits``; models/moment_head.py wires it).
     """
     if platform is None:
         platform = jax.default_backend()
@@ -336,4 +346,10 @@ def newton_schulz_available(
         n_devices = len(jax.devices())
     if platform not in ("tpu",) or n_devices != 1:
         return False
+    return newton_schulz_fits(d)
+
+
+def newton_schulz_fits(d: int) -> bool:
+    """Shape-only check for ONE device — the per-shard gate for the
+    ``shard_map`` dispatch path (parallel.shard_kernels)."""
     return _fp32_fits(d) or _bf16_resident_fits(d) or _bf16_streamed_fits(d)

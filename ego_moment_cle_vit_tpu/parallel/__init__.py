@@ -7,6 +7,15 @@ from .sharding import (
     shard_params,
     replicate,
 )
+from .shard_kernels import (
+    active_kernel_mesh,
+    kernel_mesh,
+    kernel_spmd_mode,
+    maybe_shard_map_batch,
+    set_kernel_mesh,
+    shard_map_batch,
+    spmd_kernels_enabled,
+)
 
 __all__ = [
     "create_mesh",
@@ -15,4 +24,11 @@ __all__ = [
     "param_sharding_rules",
     "shard_params",
     "replicate",
+    "active_kernel_mesh",
+    "kernel_mesh",
+    "kernel_spmd_mode",
+    "maybe_shard_map_batch",
+    "set_kernel_mesh",
+    "shard_map_batch",
+    "spmd_kernels_enabled",
 ]

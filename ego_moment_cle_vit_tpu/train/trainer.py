@@ -119,6 +119,13 @@ class Trainer:
         self.logger.info(
             "devices=%d mesh=%s", len(jax.devices()), dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         )
+        # register the mesh for SPMD kernel dispatch: on a >1-device TPU
+        # mesh the Pallas kernels run per-shard via shard_map
+        # (parallel.shard_kernels) instead of falling back to XLA
+        if self.mesh.size > 1:
+            from ..parallel import set_kernel_mesh
+
+            set_kernel_mesh(self.mesh)
 
         self.wandb_run = self._setup_wandb()
         self.state: Optional[EMCTrainState] = None
@@ -505,6 +512,12 @@ class Trainer:
             self.history["train_loss"].append(train_metrics["loss"])
             self.history["train_acc"].append(train_metrics["accuracy"])
             self.history["lr"].append(epoch_lr)
+            # per-term loss curves (loss_main_ce, loss_triplet, loss_align,
+            # ...): already computed on-device by the step's loss_dict; the
+            # learning tests assert the auxiliary terms actually decrease
+            for k, v in train_metrics.items():
+                if k.startswith("loss_"):
+                    self.history.setdefault(f"train_{k}", []).append(v)
             self.logger.info(
                 "epoch %d done: loss=%.4f acc=%.4f lr=%.2e (%.1f img/s)",
                 epoch,

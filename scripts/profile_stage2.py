@@ -37,6 +37,9 @@ def main() -> int:
     p.add_argument("--spatial-max-pack", type=int, default=None,
                    help="override swin._SPATIAL_MAX_PACK (e.g. 100 to force "
                         "the spatial-layout kernel at every stage)")
+    p.add_argument("--noshift", action="store_true",
+                   help="disable the shifted-window roll (ablation: the "
+                        "full-vs-noshift delta is the roll's HBM cost)")
     args = p.parse_args()
 
     import jax
@@ -55,6 +58,8 @@ def main() -> int:
 
     if args.spatial_max_pack is not None:
         swin_mod._SPATIAL_MAX_PACK = args.spatial_max_pack
+    if args.noshift:
+        swin_mod._PROFILE_NOSHIFT = True
 
     B, N, C, H = args.batch, args.res * args.res, args.dim, args.heads
     K = args.blocks

@@ -70,9 +70,10 @@ def test_attn_kernel_on_rejects_unsupported_shapes():
 
     with pytest.raises(ValueError, match="attn_kernel='on'"):
         _use_attn_kernel("on", 49, 192, 3)  # C=192 not a multiple of 128
-    # qualifying shape: honored without raising
-    assert _use_attn_kernel("on", 98, 512, 16) is True
-    assert _use_attn_kernel("off", 98, 512, 16) is False
+    # qualifying shape: honored without raising ('direct' dispatch here —
+    # no mesh registered, forced mode)
+    assert _use_attn_kernel("on", 98, 512, 16) == "direct"
+    assert _use_attn_kernel("off", 98, 512, 16) is None
 
 
 def test_adaptive_gpf_spatial_variant(rng):

@@ -473,3 +473,69 @@ def test_spatial_kernel_mm_pack_matches_dense_pack():
     g2 = jax.grad(loss(2))(qkv)
     g4 = jax.grad(loss(4))(qkv)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g4), atol=2e-3)
+
+
+def test_flash_window_attention_bf16_gradient_parity():
+    """bf16-input gradient path: the backward kernels cast the f32 softmax
+    probs and ds to the INPUT dtype before the dv/dq/dk matmuls (dtype-native
+    MXU).  The f32-input parity tests make those casts no-ops, so this test
+    pins the accepted bf16 gradient error against the f32 XLA reference:
+    relative L2 error must stay under 2% per gradient leaf (bf16 has ~3
+    decimal digits; the attention chain is contractive so rounding must not
+    compound past one bf16 ulp-scale).  Covers both the packed-layout and
+    spatial-layout kernels (ADVICE round 3, window_attention.py:437)."""
+    from ego_moment_cle_vit_tpu.ops.pallas import flash_window_attention
+    from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
+        flash_window_attention_spatial,
+    )
+
+    b, w, t, c, h = 2, 4, 98, 128, 4
+    ws = 7
+    qkv32 = jax.random.normal(jax.random.PRNGKey(0), (b, w, t, 3 * c), jnp.float32)
+    qkv16 = qkv32.astype(jnp.bfloat16)
+    bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t), jnp.float32) * 0.1
+    mask = jnp.where(
+        jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (w, t, t)), -100.0, 0.0
+    )
+
+    def rel_err(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+
+    # packed-layout kernel: bf16 grads vs f32 XLA reference grads
+    def loss_kernel(q):
+        return jnp.sum(jnp.sin(flash_window_attention(q, bias, mask, h)
+                               .astype(jnp.float32)))
+
+    def loss_ref(q):
+        return jnp.sum(jnp.sin(_ref_window_attention(q, bias, mask, h)))
+
+    g16 = jax.grad(loss_kernel)(qkv16)
+    gref = jax.grad(loss_ref)(qkv32)
+    assert g16.dtype == jnp.bfloat16
+    e = rel_err(g16, gref)
+    assert e < 2e-2, f"packed bf16 grad rel err {e}"
+
+    # spatial-layout kernel at a 2-window-row geometry (hp=14, wp=14)
+    hp = wp = 14
+    tile = wp // ws  # 2
+    qkv_sp32 = jax.random.normal(
+        jax.random.PRNGKey(3), (b, hp, wp, 3 * c), jnp.float32
+    )
+    qkv_sp16 = qkv_sp32.astype(jnp.bfloat16)
+    n = ws * ws
+    t2 = tile * n
+    bias2 = jax.random.normal(jax.random.PRNGKey(4), (h, t2, t2), jnp.float32) * 0.1
+    mask2 = jnp.zeros((1, t2, t2), jnp.float32)
+
+    def loss_sp(q):
+        return jnp.sum(jnp.sin(
+            flash_window_attention_spatial(q, bias2, mask2, h, ws, tile, tile)
+            .astype(jnp.float32)
+        ))
+
+    gs16 = jax.grad(loss_sp)(qkv_sp16)
+    gs32 = jax.grad(loss_sp)(qkv_sp32)
+    assert gs16.dtype == jnp.bfloat16
+    e = rel_err(gs16, gs32)
+    assert e < 2e-2, f"spatial bf16 grad rel err {e}"
