@@ -23,11 +23,12 @@ window-attention kernel + fast-FFT rotate: 64 -> 197.5 img/s/chip, 1.10x
 the A100 estimate; history: 16 -> 118.4, 32 -> 124.8 pre-kernel; 32 ->
 186.0, 64 -> 192.2 with the kernel), BENCH_STEPS (default 20),
 BENCH_PRESET=small for a vit-small quick run, BENCH_PRESET=large for the
-reference's swin_large flagship config (needs BENCH_BATCH=32
-BENCH_REMAT=block — B=64 with attn remat exceeds 16 GB HBM; measured
-round 3: 83.1 img/s/chip, step 385 ms at B=32; note the default
-vs_baseline denominator is the swin-BASE A100 estimate and does not
-apply to this preset), BENCH_MODE=infer to measure the specialized
+reference's swin_large flagship config (BENCH_BATCH=32 BENCH_REMAT=block;
+measured round 4: 98.1 img/s/chip at B=32 with the head-padded stage0
+kernel, up from round 3's 83.1; its vs_baseline uses the swin_large A100
+estimate, 80 img/s — see A100_REFERENCE_LARGE_IMG_PER_SEC), the default
+full run also merges a swin_large metric into the JSON (BENCH_LARGE=0
+skips), BENCH_MODE=infer to measure the specialized
 single-pass serving path instead of the train step.
 (Note: on the axon tunnel the swin-base BENCH_MODE=infer FIRST compile can
 exceed the remote-compile service's connection timeout; use
@@ -44,6 +45,10 @@ import time
 import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC = 180.0  # documented estimate, see module docstring
+# swin_large preset: same derivation scaled by the backbone FLOP ratio
+# (swin-large ~34.5 GFLOP/img fwd at 224^2 vs swin-base ~15.4):
+# 180 * 15.4 / 34.5 =~ 80 img/s on one A100.
+A100_REFERENCE_LARGE_IMG_PER_SEC = 80.0
 # serving baseline: the reference's inference runs the dual pass on a
 # duplicated image (ego_moment_clevit.py:318-331) — ~2x the single-view
 # cost; estimate ~450 img/s on A100 for Swin-Base eval AMP.
@@ -347,16 +352,21 @@ def main() -> int:
                 step, state, labels, key, batch, steps, cached=False
             )
 
+    baseline = (
+        A100_REFERENCE_LARGE_IMG_PER_SEC
+        if preset == "large"
+        else A100_REFERENCE_IMG_PER_SEC
+    )
     result = {
         "metric": f"train_images_per_sec_per_chip ({backbone} dual-view 224 bf16, full step)",
         "value": round(img_per_sec / n_chips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / n_chips / A100_REFERENCE_IMG_PER_SEC, 3),
+        "vs_baseline": round(img_per_sec / n_chips / baseline, 3),
         # the reference publishes NO throughput numbers; the denominator is
         # the documented engineering estimate derived in this module's
         # docstring (180 img/s on one A100)
         "baseline_is_estimate": True,
-        "baseline_img_per_sec": A100_REFERENCE_IMG_PER_SEC,
+        "baseline_img_per_sec": baseline,
         "compile_s": round(compile_s, 1),
     }
     if e2e_img_per_sec is not None:
@@ -391,8 +401,11 @@ def main() -> int:
             env = dict(
                 os.environ,
                 BENCH_PRESET="large",
-                BENCH_BATCH=os.environ.get("BENCH_LARGE_BATCH", "32"),
-                BENCH_REMAT=os.environ.get("BENCH_LARGE_REMAT", "block"),
+                # B=64 + ATTN remat fits since the head-padded stage0
+                # kernel (round 4): 111.5 img/s (B=32 attn 111.9, B=64
+                # block 103.7, B=32 block 98.1 — r3 best was 83.1)
+                BENCH_BATCH=os.environ.get("BENCH_LARGE_BATCH", "64"),
+                BENCH_REMAT=os.environ.get("BENCH_LARGE_REMAT", "attn"),
                 BENCH_STEPS="10",
                 BENCH_E2E="0",
                 BENCH_LARGE="0",
@@ -409,6 +422,10 @@ def main() -> int:
                 if line.startswith("{"):
                     sub = json.loads(line)
                     result["swin_large_images_per_sec_per_chip"] = sub["value"]
+                    result["swin_large_vs_baseline"] = sub.get("vs_baseline")
+                    result["swin_large_baseline_img_per_sec"] = sub.get(
+                        "baseline_img_per_sec"
+                    )
                     result["swin_large_batch"] = int(env["BENCH_BATCH"])
                     result["swin_large_remat"] = env["BENCH_REMAT"]
                     break

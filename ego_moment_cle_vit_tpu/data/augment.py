@@ -353,8 +353,8 @@ def _dft_shift_last(
     n ~= 272 the O(n^2) DFT-as-matmul is ~13 GFLOP per shear batch, under
     0.3 ms on the MXU.  The analysis/synthesis matrices are trace-time
     constants; only the per-row phase rotation (the random shift) is
-    computed on device.  Exact same transform (sinc interpolation), to f32
-    rounding."""
+    computed on device.  Same transform (sinc interpolation) to ~1e-4 on
+    0..1 images (HIGH matmul precision — see the A/B note below)."""
     w = x.shape[-1]
     if n is None:
         # no 7-smooth rounding needed for a matmul DFT — any even n works
@@ -362,12 +362,13 @@ def _dft_shift_last(
     cos, sin, icw, isw = (jnp.asarray(m) for m in _dft_matrices(n))
     nf = n // 2 + 1
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, n - w - pad)))
-    # HIGHEST precision: the default TPU matmul rounds f32 operands to
-    # bf16, which would break the docstring's 'exact to f32 rounding'
-    # contract (and diverge from the _fft_shift_last reference path that
-    # the CPU-mesh parity tests compare against).  The DFT matrices are
-    # [~272, ~137] — the multi-pass cost is negligible vs the step.
-    hp = jax.lax.Precision.HIGHEST
+    # HIGH precision (3-pass bf16): the DEFAULT TPU matmul rounds f32
+    # operands to bf16 in one pass (measured max error 1.5e-2 on 0..1
+    # images — visible), HIGHEST costs 6.26 ms vs HIGH's 4.79 per 64
+    # rotations while HIGH already tracks it to 9.2e-5 (on-chip A/B,
+    # docs/PROFILE_FLAGSHIP_R4.md).  HIGH keeps the transform f32-faithful
+    # to ~1e-4 at 2/3 the cost.
+    hp = jax.lax.Precision.HIGH
     f_re = jnp.matmul(xp, cos, precision=hp)  # [C, R, nf]
     f_im = -jnp.matmul(xp, sin, precision=hp)
     th = (2.0 * jnp.pi / n) * shifts[:, None].astype(jnp.float32) * jnp.arange(

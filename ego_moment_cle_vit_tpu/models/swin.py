@@ -30,6 +30,10 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
+from ego_moment_cle_vit_tpu.ops.pallas.attn_half import (
+    attn_half_available,
+    fused_attn_half_spatial,
+)
 from ego_moment_cle_vit_tpu.ops.pallas.window_attention import (
     flash_window_attention,
     flash_window_attention_spatial,
@@ -98,6 +102,34 @@ def _use_spatial_kernel(mode: str, hp: int, wp: int, ws: int, c: int,
     if mode != "auto" or not _SPATIAL_IN_AUTO:
         return None
     if not spatial_window_attention_available(hp, wp, ws, c, num_heads, pack, mm):
+        return None
+    return _kernel_dispatch_kind(batch, forced=False)
+
+
+# fused attention-half kernel (LN1 + qkv + attention + proj + residual in
+# one VMEM pass, ops/pallas/attn_half.py) at the bandwidth-bound widths
+# (C <= 256).  EMCT_FUSED_HALF gates its 'auto' participation.
+_FUSED_HALF_IN_AUTO = _os.environ.get("EMCT_FUSED_HALF", "0") == "1"
+
+
+def _use_fused_half(mode: str, hp: int, wp: int, ws: int, c: int,
+                    num_heads: int, pack: int, mm: int,
+                    batch: int | None = None) -> str | None:
+    """'fused_half' selects the fused attention-half kernel on every block
+    it supports (C<=256) and falls back to the regular 'auto' dispatch on
+    the rest — so the mode is usable for a whole model whose deep stages
+    exceed the width gate.  Round-4 measurement: the fused kernel WINS
+    forward-only (stage0 9.51 vs 9.88 ms/blk) but loses fwd+bwd (25.33 vs
+    24.33) — its in-kernel dW GEMM chain schedules worse than XLA's — so
+    'auto' keeps it OFF for training (EMCT_FUSED_HALF=1 overrides) and the
+    mode is the serving-path knob.  Returns 'direct', 'spmd', or None."""
+    if mode == "fused_half":
+        if attn_half_available(hp, wp, ws, c, num_heads, pack, mm):
+            return _kernel_dispatch_kind(batch, forced=True)
+        return None
+    if mode != "auto" or not _FUSED_HALF_IN_AUTO:
+        return None
+    if not attn_half_available(hp, wp, ws, c, num_heads, pack, mm):
         return None
     return _kernel_dispatch_kind(batch, forced=False)
 
@@ -196,6 +228,20 @@ class _DenseParams(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros_init(), (self.out_dim,))
         return k, b
+
+
+class _LNParams(nn.Module):
+    """Raw nn.LayerNorm-compatible parameters (scale + bias) without the op —
+    the fused attention-half kernel consumes them directly; tree paths match
+    nn.LayerNorm."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        return s, b
 
 
 class _AttnParams(nn.Module):
@@ -483,12 +529,81 @@ class SwinBlock(nn.Module):
         # kernel run per mm-window group (packed-kernel problem size)
         spatial_pack = wp // ws
         spatial_mm = _spatial_mm_pack(spatial_pack)
-        use_spatial = _use_spatial_kernel(
+        # head-PADDED dispatch (round 4): widths where C % 128 != 0 (e.g.
+        # swin_large stage0, C=192, H=6, d=32) widen each head slot to
+        # ``pad_d`` lanes so the kernel's lane rules hold — q/k/v pad lanes
+        # are ZERO (padded weights), so logits and outputs are exact; the
+        # true d^-1/2 scale is passed explicitly.  Costs a 2x-wider qkv
+        # tensor; replaces the XLA path's [*, T, T] logit HBM sweeps.
+        d_head = c // self.num_heads
+        cp = c
+        if c % 128 != 0:
+            for dp in (64, 128):
+                if dp >= d_head and (self.num_heads * dp) % 128 == 0:
+                    cp = self.num_heads * dp
+                    break
+        use_fused = _use_fused_half(
             self.attn_kernel, hp, wp, ws, c, self.num_heads, spatial_pack,
             spatial_mm, batch=b,
         )
+        # blocks the fused mode does not support dispatch like 'auto'
+        eff_mode = "auto" if self.attn_kernel == "fused_half" else self.attn_kernel
+        use_spatial = None if use_fused else _use_spatial_kernel(
+            eff_mode, hp, wp, ws, cp, self.num_heads, spatial_pack,
+            spatial_mm, batch=b,
+        )
 
-        if use_spatial:
+        if use_fused:
+            # Fused attention-half kernel: LN1 + qkv + attention + proj +
+            # residual in ONE VMEM pass (ops/pallas/attn_half.py) — at
+            # C<=256 the block is HBM-sweep-bound and this removes the LN
+            # materialization, the qkv tensor round trip, and the proj/
+            # residual sweeps.  Only pad/roll remain XLA data movement.
+            # Parameter tree matches the other paths (norm1/{scale,bias},
+            # attn/{qkv,proj,relative_position_bias_table}).
+            lng, lnb = _LNParams(c, name="norm1")()
+            wqkv, bqkv, wproj, bproj, table = _AttnParams(
+                c, self.num_heads, ws, name="attn"
+            )()
+            dt = self.dtype
+            xm = x.reshape(b, h, w, c).astype(dt)
+            if hp != h or wp != w:
+                xm = jnp.pad(xm, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            if shift > 0:
+                xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+            t = spatial_mm * ws * ws
+            bias_bd = _build_bias_bd(table, ws, spatial_mm, self.num_heads)
+            madd = (
+                _blockdiag_mask(mask, spatial_mm)
+                if mask is not None
+                else jnp.zeros((1, t, t), jnp.float32)
+            )
+            fn = lambda xx, lg, lb, wq, bq, wpr, bpr, bb, mm_: (
+                fused_attn_half_spatial(
+                    xx, lg, lb, wq, bq, wpr, bpr, bb, mm_,
+                    self.num_heads, ws, spatial_pack, spatial_mm,
+                    self.layer_norm_eps,
+                )
+            )
+            if use_fused == "spmd":
+                from ..parallel.shard_kernels import maybe_shard_map_batch
+
+                wrapped = maybe_shard_map_batch(
+                    fn, b,
+                    (True, False, False, False, False, False, False, False,
+                     False),
+                )
+                fn = wrapped if wrapped is not None else fn
+            ym = fn(
+                xm, lng, lnb, wqkv.astype(dt), bqkv.astype(dt),
+                wproj.astype(dt), bproj.astype(dt), bias_bd, madd,
+            )
+            if shift > 0:
+                ym = jnp.roll(ym, shift=(shift, shift), axis=(1, 2))
+            if hp != h or wp != w:
+                ym = ym[:, :h, :w]
+            x = ym.reshape(b, n, c)  # residual already applied in-kernel
+        elif use_spatial:
             # Spatial-layout kernel: LN1 + qkv + proj stay XLA (they fuse
             # into adjacent ops); the window partition AND reverse transposes
             # are absorbed by the kernel's block DMA, saving 4 HBM sweeps of
@@ -502,6 +617,21 @@ class SwinBlock(nn.Module):
             wqkv, bqkv, wproj, bproj, table = _AttnParams(
                 c, self.num_heads, ws, name="attn"
             )()
+            if cp != c:
+                # head-padded weights: each head's d lanes sit in a dp-wide
+                # zero slot; logits/outputs are exact (zero q/k/v pads), the
+                # true scale goes via the kernel's explicit override
+                hh, dd, dp = self.num_heads, d_head, cp // self.num_heads
+                wqkv = jnp.pad(
+                    wqkv.reshape(c, 3, hh, dd),
+                    ((0, 0), (0, 0), (0, 0), (0, dp - dd)),
+                ).reshape(c, 3 * cp)
+                bqkv = jnp.pad(
+                    bqkv.reshape(3, hh, dd), ((0, 0), (0, 0), (0, dp - dd))
+                ).reshape(3 * cp)
+                wproj = jnp.pad(
+                    wproj.reshape(hh, dd, c), ((0, 0), (0, dp - dd), (0, 0))
+                ).reshape(cp, c)
             dt = self.dtype
             xm = xn.reshape(b, h, w, c)
             if hp != h or wp != w:
@@ -517,7 +647,8 @@ class SwinBlock(nn.Module):
                 else jnp.zeros((1, t, t), jnp.float32)
             )
             attn_fn = lambda q, bb, mm_: flash_window_attention_spatial(
-                q, bb, mm_, self.num_heads, ws, spatial_pack, spatial_mm
+                q, bb, mm_, self.num_heads, ws, spatial_pack, spatial_mm,
+                d_head**-0.5,
             )
             if use_spatial == "spmd":
                 from ..parallel.shard_kernels import maybe_shard_map_batch
@@ -544,7 +675,7 @@ class SwinBlock(nn.Module):
 
             windows = _window_partition(x, ws)  # [B*nW, ws*ws, C]
             use_kernel = _use_attn_kernel(
-                self.attn_kernel, pack * ws * ws, c, self.num_heads, batch=b
+                eff_mode, pack * ws * ws, c, self.num_heads, batch=b
             )
             # flash-attention-style remat: everything in the attention module
             # is saveable EXCEPT the named [*, pN, pN] logits/probs, which

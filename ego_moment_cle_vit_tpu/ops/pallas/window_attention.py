@@ -45,8 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 # keeps pathological activations finite (changing results only where
 # softmax already saturates one-hot), and the denominator epsilon turns an
 # all-underflow row (e.g. garbage pad tokens at a -100 mask floor) into a
-# zero row instead of NaN.
-_FAST_SOFTMAX = os.environ.get("EMCT_ATTN_FAST_SOFTMAX", "0") == "1"
+# zero row instead of NaN.  Default ON (round 4): measured -0.81 ms/blk at
+# stage0 and -0.17 at stage2 (dual-view 128), parity-tested incl. the
+# all-underflow row; EMCT_ATTN_FAST_SOFTMAX=0 restores the shifted form.
+_FAST_SOFTMAX = os.environ.get("EMCT_ATTN_FAST_SOFTMAX", "1") == "1"
 
 
 def _softmax(logits):
@@ -489,7 +491,7 @@ def spatial_window_attention_available(
     ) <= 64 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def flash_window_attention_spatial(
     qkv: jnp.ndarray,
     bias: jnp.ndarray,
@@ -498,6 +500,7 @@ def flash_window_attention_spatial(
     window_size: int,
     pack: int = 1,
     mm_pack: Optional[int] = None,
+    scale: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Windowed MHSA straight from the spatial qkv map.
@@ -513,12 +516,17 @@ def flash_window_attention_spatial(
             DMA tile still spans ``pack`` windows — Mosaic's block-shape
             rule — but the logits are computed per mm_pack-window group,
             so a full-row tile no longer pays dense cross-window FLOPs.
+      scale: logit scale override (default (C/H)^-1/2).  Head-PADDED
+            dispatch (models/swin.py: C=192 widened to 384 with zero
+            lanes so the lane rules hold) passes the TRUE head dim's
+            scale here, since C/H then reflects the padded slot.
 
     Returns: [B, Hp, Wp, C] in qkv.dtype — window partition AND reverse are
     absorbed into the kernel's block DMA.
     """
     out, _ = _fwd_spatial(
-        qkv, bias, mask, num_heads, window_size, pack, mm_pack, interpret
+        qkv, bias, mask, num_heads, window_size, pack, mm_pack, scale,
+        interpret,
     )
     return out
 
@@ -533,13 +541,15 @@ def _spatial_mask_spec(t: int, w_mask: int, gpt: int, nwxg: int):
     )
 
 
-def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, mm_pack, interpret):
+def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, mm_pack, scale,
+                 interpret):
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     mm = pack if mm_pack is None else mm_pack
     t = mm * ws * ws
     gpt = pack // mm  # mask groups per DMA tile
-    scale = (c // num_heads) ** -0.5
+    if scale is None:
+        scale = (c // num_heads) ** -0.5
     nwy = hp // ws
     nwxg = wp // (pack * ws)
     nb = _pick_nb_spatial(b, ws, pack, mm, c, num_heads, backward=False)
@@ -572,14 +582,15 @@ def _fwd_spatial(qkv, bias, mask, num_heads, ws, pack, mm_pack, interpret):
     return out, (qkv, bias, mask)
 
 
-def _bwd_spatial(num_heads, ws, pack, mm_pack, interpret, res, dout):
+def _bwd_spatial(num_heads, ws, pack, mm_pack, scale, interpret, res, dout):
     qkv, bias, mask = res
     b, hp, wp, c3 = qkv.shape
     c = c3 // 3
     mm = pack if mm_pack is None else mm_pack
     t = mm * ws * ws
     gpt = pack // mm
-    scale = (c // num_heads) ** -0.5
+    if scale is None:
+        scale = (c // num_heads) ** -0.5
     nwy = hp // ws
     nwxg = wp // (pack * ws)
     nb = _pick_nb_spatial(b, ws, pack, mm, c, num_heads, backward=True)

@@ -51,9 +51,14 @@ VARIANTS = (
     "noaug",
     "noauxloss",
     "sgd",
+    "noopt",
     "noclip",
     "tinymoment",
 )
+# noopt (round 4): all gradients computed and fenced but NO optimizer
+# update / clip — full minus noopt is the (optimizer + clip) share with
+# the steady-state methodology, replacing the faulting `sgd` variant
+# (VERDICT r3 item 9); subtract the noclip delta for the optimizer alone.
 
 
 def bench_step(step_fn, carry, args, iters):
@@ -210,6 +215,35 @@ def run_variant(variant: str, batch: int, iters: int) -> float:
 
         step = jax.jit(train_step, donate_argnums=(0,))
         args = (anchor, positive, labels, key)
+    elif variant == "noopt":
+
+        def train_step(state, images_u8, labels, key):
+            aug_key, dk = jax.random.split(jax.random.fold_in(key, state.step))
+            anchor, positive = dual_view_train_batch(images_u8, aug_key, aug_cfg)
+
+            def loss_fn(params):
+                vs = {"params": params}
+                if state.constants is not None:
+                    vs["constants"] = state.constants
+                out = model.apply(
+                    vs, anchor, positive, labels,
+                    deterministic=False, rngs={"dropout": dk},
+                )
+                return out["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            # fence EVERY gradient leaf into the scalar so no dW is DCE'd;
+            # the optimizer update itself is skipped
+            gsum = sum(
+                jnp.sum(g.astype(jnp.float32))
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+            # nonzero coefficient: 0.0 * gsum would constant-fold and DCE
+            # the whole backward
+            return state, loss + 1e-12 * gsum
+
+        step = jax.jit(train_step, donate_argnums=(0,))
+        args = (images_u8, labels, key)
     else:
 
         def train_step(state, images_u8, labels, key):

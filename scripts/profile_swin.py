@@ -54,11 +54,16 @@ def main() -> int:
     def timed(fn, *fargs):
         out = fn(*fargs)
         float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(*fargs)
-        float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
-        return (time.perf_counter() - t0) / args.iters * 1e3
+        best = None
+        # two loops, keep the faster (first-loop tunnel ramp; see bench.py)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fn(*fargs)
+            float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
+            took = (time.perf_counter() - t0) / args.iters * 1e3
+            best = took if best is None else min(best, took)
+        return best
 
     import dataclasses
 
@@ -99,11 +104,24 @@ def main() -> int:
             l, g = jax.value_and_grad(loss)(x)
             return l + jnp.sum(g)
 
+        @jax.jit
+        def fwdbwd_p(v, x, model=model):
+            def loss(params):
+                return jnp.sum(
+                    model.apply({"params": params}, x).astype(jnp.float32)
+                )
+
+            l, g = jax.value_and_grad(loss)(v["params"])
+            leaves = jax.tree_util.tree_leaves(g)
+            return l + sum(jnp.sum(t).astype(jnp.float32) for t in leaves)
+
         results[f"{name}/fwd"] = timed(fwd, variables, images)
         results[f"{name}/fwd+bwd"] = timed(fwdbwd, variables, images)
+        results[f"{name}/fwd+bwd(p)"] = timed(fwdbwd_p, variables, images)
         print(
             f"{name:10s} fwd {results[f'{name}/fwd']:7.2f} ms   "
-            f"fwd+bwd {results[f'{name}/fwd+bwd']:7.2f} ms",
+            f"fwd+bwd {results[f'{name}/fwd+bwd']:7.2f} ms   "
+            f"fwd+bwd(dparams) {results[f'{name}/fwd+bwd(p)']:7.2f} ms",
             flush=True,
         )
 

@@ -539,3 +539,70 @@ def test_flash_window_attention_bf16_gradient_parity():
     assert gs16.dtype == jnp.bfloat16
     e = rel_err(gs16, gs32)
     assert e < 2e-2, f"spatial bf16 grad rel err {e}"
+
+
+def test_fast_softmax_parity_and_underflow_safety(monkeypatch):
+    """The shift-free softmax (EMCT_ATTN_FAST_SOFTMAX) must match the
+    shifted softmax to f32 rounding for sane logits, and an all-underflow
+    row (garbage pad tokens at a mask floor) must yield a ZERO row, not
+    NaN — forward and through the backward's ds chain."""
+    from ego_moment_cle_vit_tpu.ops.pallas import window_attention as wa
+
+    monkeypatch.setattr(wa, "_FAST_SOFTMAX", True)
+
+    b, w, t, c, h = 2, 2, 98, 128, 4
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, w, t, 3 * c), jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(1), (h, t, t), jnp.float32) * 0.1
+    mask = jnp.where(
+        jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (w, t, t)), -100.0, 0.0
+    )
+    got = wa.flash_window_attention(qkv, bias, mask, h)
+    want = _ref_window_attention(qkv, bias, mask, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    g = jax.grad(
+        lambda q: jnp.sum(jnp.sin(wa.flash_window_attention(q, bias, mask, h)))
+    )(qkv)
+    gr = jax.grad(
+        lambda q: jnp.sum(jnp.sin(_ref_window_attention(q, bias, mask, h)))
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4)
+
+    # all-underflow row: every logit below exp's f32 underflow
+    deep_mask = jnp.full((1, t, t), -200.0, jnp.float32)
+    out = wa.flash_window_attention(qkv, jnp.zeros_like(bias), deep_mask, h)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert float(jnp.max(jnp.abs(out))) == 0.0
+    g2 = jax.grad(
+        lambda q: jnp.sum(
+            wa.flash_window_attention(q, jnp.zeros_like(bias), deep_mask, h)
+        )
+    )(qkv)
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_swin_head_padded_spatial_kernel_c192():
+    """Head-PADDED dispatch (round 4): a C=192 / H=6 stage (swin_large
+    stage0 — d=32, C not a multiple of 128) runs the spatial kernel with
+    each head slot zero-widened to 64 lanes and an explicit d^-1/2 scale.
+    Forward and all parameter gradients must match the XLA path exactly
+    (zero pad lanes contribute nothing)."""
+    from ego_moment_cle_vit_tpu.models.swin import Swin, SwinConfig
+
+    kw = dict(img_size=56, embed_dim=192, depths=(2,), num_heads=(6,))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3), jnp.float32)
+    m_off = Swin(SwinConfig(attn_kernel="off", **kw))
+    m_sp = Swin(SwinConfig(attn_kernel="spatial", **kw))
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        m_sp.init(jax.random.PRNGKey(1), x)
+    )
+    y0 = m_off.apply(params, x)
+    y1 = m_sp.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
+    g0 = jax.grad(lambda p: jnp.sum(jnp.sin(m_off.apply(p, x))))(params)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m_sp.apply(p, x))))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
