@@ -28,4 +28,4 @@ train     Train state, optimizer/schedule factory, Trainer/Evaluator engines.
 utils     Config, seeding, model introspection, visualization.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

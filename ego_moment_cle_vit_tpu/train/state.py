@@ -128,24 +128,34 @@ def clip_and_skip_nonfinite(
             scale = jnp.minimum(max_norm / jnp.maximum(g_norm, 1e-16), 1.0)
         else:
             scale = jnp.float32(1.0)
-        # non-finite: zero the updates entering the cond so BOTH branches
-        # see well-defined numbers (the skip branch ignores them anyway)
-        safe = jnp.where(isfin, scale, 0.0)
+        # non-finite: zero the updates entering the inner transform so every
+        # intermediate it computes stays finite (its outputs are discarded
+        # by the selects below regardless — the per-element where, unlike
+        # `u * 0`, maps inf/nan gradients to true zeros)
         clipped = jax.tree_util.tree_map(
-            lambda u: (u.astype(jnp.float32) * safe).astype(u.dtype), updates
+            lambda u: jnp.where(
+                isfin, u.astype(jnp.float32) * scale, 0.0
+            ).astype(u.dtype),
+            updates,
         )
 
-        def do_update(operand):
-            ups, inner_state = operand
-            new_u, new_s = inner.update(ups, inner_state, params)
-            return new_u, new_s
-
-        def skip_update(operand):
-            ups, inner_state = operand
-            return jax.tree_util.tree_map(jnp.zeros_like, ups), inner_state
-
-        new_updates, new_inner = jax.lax.cond(
-            isfin, do_update, skip_update, (clipped, state.inner)
+        # Branchless skip: run the inner transform unconditionally and
+        # select between its results and the untouched state per leaf.  A
+        # ``lax.cond`` here is a fusion boundary — XLA must materialize the
+        # full clipped gradient tree to HBM as the branch operand and the
+        # inner transform re-reads it (~2 full sweeps of a 357 M-param tree
+        # at the flagship config).  With elementwise selects the
+        # scalar-broadcast clip multiply fuses into the optimizer's own
+        # gradient read and the selects fuse into its state writes; the
+        # non-finite path costs one wasted (rare) update computation.
+        new_updates, new_inner = inner.update(clipped, state.inner, params)
+        new_updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(isfin, u, jnp.zeros_like(u)), new_updates
+        )
+        new_inner = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(isfin, n, o) if hasattr(n, "dtype") else n,
+            new_inner,
+            state.inner,
         )
         notfin = jnp.where(isfin, 0, state.notfinite_count + 1)
         # poison after the limit: a persistent non-finite stream must fail
