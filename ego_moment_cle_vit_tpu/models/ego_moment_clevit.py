@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from .backbone import CLEViTDualStream
-from .gpf import GraphPolynomialFusion
-from .moment_head import MomentHead
+from .gpf import AdaptiveGraphPolynomialFusion, GraphPolynomialFusion
+from .moment_head import MomentHead, SimplifiedMomentHead
 from .classifier_head import (
     AdaptiveClassifierHead,
     ClassifierHead,
@@ -55,6 +55,14 @@ class EGOMomentCLEViT(nn.Module):
     gpf_similarity: str = "cosine"
     gpf_symmetric_enforce: bool = True
     gpf_coeff_init: str = "uniform"
+    # None -> static-coefficient GPF; 'global'|'spatial'|'attention' selects
+    # AdaptiveGraphPolynomialFusion (reference exports it as part of the
+    # public model API, src/models/__init__.py:40-63 / gpf_kernel.py:179-217;
+    # BASELINE.json configs[3] names adaptive-degree GPF as a target config)
+    gpf_adaptive_type: Optional[str] = None
+    # 'full' (canonical MomentHead) | 'simplified' (SimplifiedMomentHead,
+    # reference moment_head_simple.py:15-164)
+    moment_variant: str = "full"
     moment_d_out: int = 1024
     use_third_order: bool = True
     isqrt_iterations: int = 5
@@ -86,27 +94,52 @@ class EGOMomentCLEViT(nn.Module):
         )
         backbone_dim = self.backbone.num_features
 
-        self.gpf = GraphPolynomialFusion(
-            degree_p=self.gpf_degree_p,
-            degree_q=self.gpf_degree_q,
-            similarity=self.gpf_similarity,
-            symmetric_enforce=self.gpf_symmetric_enforce,
-            coeff_init=self.gpf_coeff_init,
-        )
-        self.moment_head = MomentHead(
-            d_in=backbone_dim,
-            d_out=self.moment_d_out,
-            use_third_order=self.use_third_order,
-            isqrt_iterations=self.isqrt_iterations,
-            sketch_dim=self.sketch_dim,
-            sketch_mode=self.sketch_mode,
-            dropout=self.dropout,
-            norm=self.norm,
-            axis_name=self.axis_name,
-            remat=self.moment_remat,
-            bf16_params=self.moment_bf16_params,
-            dtype=self.dtype,
-        )
+        if self.gpf_adaptive_type is not None:
+            self.gpf = AdaptiveGraphPolynomialFusion(
+                degree_p=self.gpf_degree_p,
+                degree_q=self.gpf_degree_q,
+                similarity=self.gpf_similarity,
+                symmetric_enforce=self.gpf_symmetric_enforce,
+                coeff_init=self.gpf_coeff_init,
+                adaptive_type=self.gpf_adaptive_type,
+            )
+        else:
+            self.gpf = GraphPolynomialFusion(
+                degree_p=self.gpf_degree_p,
+                degree_q=self.gpf_degree_q,
+                similarity=self.gpf_similarity,
+                symmetric_enforce=self.gpf_symmetric_enforce,
+                coeff_init=self.gpf_coeff_init,
+            )
+        if self.moment_variant == "simplified":
+            self.moment_head = SimplifiedMomentHead(
+                d_in=backbone_dim,
+                d_out=self.moment_d_out,
+                use_third_order=self.use_third_order,
+                isqrt_iterations=self.isqrt_iterations,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+        elif self.moment_variant == "full":
+            self.moment_head = MomentHead(
+                d_in=backbone_dim,
+                d_out=self.moment_d_out,
+                use_third_order=self.use_third_order,
+                isqrt_iterations=self.isqrt_iterations,
+                sketch_dim=self.sketch_dim,
+                sketch_mode=self.sketch_mode,
+                dropout=self.dropout,
+                norm=self.norm,
+                axis_name=self.axis_name,
+                remat=self.moment_remat,
+                bf16_params=self.moment_bf16_params,
+                dtype=self.dtype,
+            )
+        else:
+            raise ValueError(
+                f"Unknown moment variant: {self.moment_variant!r} "
+                "(expected 'full' or 'simplified')"
+            )
         # classifier variant (reference exports all three heads,
         # classifier_head.py:14-311; configs[4] uses the multi-scale one)
         if self.classifier_type == "multiscale":
@@ -306,6 +339,8 @@ def create_model(config: Dict[str, Any], num_classes: int) -> EGOMomentCLEViT:
         gpf_similarity=gpf.get("similarity", "cosine"),
         gpf_symmetric_enforce=gpf.get("symmetric_enforce", True),
         gpf_coeff_init=gpf.get("coeff_init", "uniform"),
+        gpf_adaptive_type=gpf.get("adaptive_type"),
+        moment_variant=moment.get("variant", "full"),
         moment_d_out=moment.get("d_out", 1024),
         use_third_order=moment.get("use_third_order", True),
         isqrt_iterations=moment.get("isqrt_iterations", 5),

@@ -300,6 +300,13 @@ class SwinConfig:
 
 
 SWIN_CONFIGS = {
+    # micro config for mesh dryruns / CI: full Swin machinery (window
+    # partition + shift masks + relative bias + kernel dispatch) at
+    # CPU-mesh-friendly size; stage0 C=128/heads=4 matches the spatial
+    # kernel's lane gate, and the final stage emits the flagship's N=49
+    "swin_micro_patch4_window7_56": SwinConfig(
+        img_size=56, embed_dim=128, depths=(1, 1), num_heads=(4, 8)
+    ),
     "swin_tiny_patch4_window7_224": SwinConfig(
         embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)
     ),
