@@ -196,9 +196,11 @@ def _bench_e2e(step, state, key, batch, steps, cached):
     gather -> the SAME jitted train step.  Per-step host traffic is a
     64-int32 index vector.
 
-    cached=False — the streaming path for datasets too large to cache:
-    BatchLoader workers -> DevicePrefetcher H2D staging -> step.  On the
-    axon tunnel this is link-bound (~26 MB/s H2D, transfers do not overlap
+    cached=False — the streaming path for datasets too large for HBM:
+    HostDecodedCache (decode once to host RAM; BENCH_E2E_HOST_CACHE=0
+    reverts to decode-in-loop thread workers) -> BatchLoader ->
+    DevicePrefetcher H2D staging -> step.  On the axon tunnel this is
+    link-bound (26-98 MB/s H2D session-dependent, transfers do not overlap
     compute — docs/PERFORMANCE.md "input pipeline"); on a co-located TPU
     host the same path rides PCIe at GB/s.
     """
@@ -206,6 +208,7 @@ def _bench_e2e(step, state, key, batch, steps, cached):
         BatchLoader,
         DeviceDatasetCache,
         DevicePrefetcher,
+        HostDecodedCache,
         SyntheticUFGDataset,
     )
 
@@ -221,6 +224,13 @@ def _bench_e2e(step, state, key, batch, steps, cached):
             num_workers=int(os.environ.get("BENCH_E2E_WORKERS", "8")),
         ))
     else:
+        if os.environ.get("BENCH_E2E_HOST_CACHE", "1") == "1":
+            # the production streaming tier (trainer data.host_cache auto):
+            # one-time decode to host RAM, then the loop measures batch
+            # assembly + H2D + step — the steady-state epoch cost
+            ds = HostDecodedCache(
+                ds, num_workers=int(os.environ.get("BENCH_E2E_WORKERS", "8")),
+            )
         loader = BatchLoader(
             ds, batch_size=batch,
             num_workers=int(os.environ.get("BENCH_E2E_WORKERS", "8")),

@@ -16,7 +16,9 @@ from .device_cache import DeviceDatasetCache, device_cache_fits
 from .pipeline import (
     BatchLoader,
     DevicePrefetcher,
+    HostDecodedCache,
     create_multi_loaders,
+    host_cache_fits,
     shard_batch,
 )
 
@@ -37,6 +39,8 @@ __all__ = [
     "DevicePrefetcher",
     "DeviceDatasetCache",
     "device_cache_fits",
+    "HostDecodedCache",
+    "host_cache_fits",
     "create_multi_loaders",
     "shard_batch",
 ]

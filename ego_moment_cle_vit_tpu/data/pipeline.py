@@ -21,6 +21,39 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
+# --- process-pool decode workers ------------------------------------------
+# JPEG decode mostly releases the GIL inside PIL, but the surrounding
+# Python (BytesIO, resize bookkeeping, np.asarray) does not — measured on
+# the streaming bench the thread pool tops out well below the H2D link
+# bound (PROFILE_FLAGSHIP_R4: 91-116 img/s vs a 190+ link).  A fork-start
+# process pool sidesteps the GIL entirely; the dataset lands in children
+# via copy-on-write, and only the decoded uint8 batches cross the pipe.
+# Children run pure numpy/PIL — they never touch jax, so the live TPU
+# client in the parent is not forked into use.
+
+_WORKER_DATASET = None
+
+
+def _pool_get(idx: int):  # pragma: no cover - runs in child
+    return _WORKER_DATASET[int(idx)]
+
+
+def _fork_pool(dataset, num_workers: int):
+    """Fork-start process pool whose children see ``dataset`` via
+    copy-on-write (the parent global is set immediately before the fork —
+    NOT passed through initargs, which would pickle a potentially
+    hundreds-of-MB parquet byte column once per worker).  Each pool
+    snapshots the dataset at fork time, so sequentially created pools for
+    different datasets are safe even if their iterations interleave."""
+    import multiprocessing as mp
+
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    ctx = mp.get_context("fork")
+    pool = ctx.Pool(max(1, num_workers))
+    _WORKER_DATASET = None
+    return pool
+
 
 class BatchLoader:
     """Iterates (images_u8 [B, S, S, 3], labels [B]) numpy batches."""
@@ -34,13 +67,19 @@ class BatchLoader:
         drop_last: bool = True,
         num_workers: int = 8,
         prefetch: int = 2,
+        worker_type: str = "thread",
         process_index: int | None = None,
         process_count: int | None = None,
     ):
         """``batch_size`` is the PER-HOST batch.  In a multi-host run each
         process sees a disjoint stride of the (identically seeded) global
         shuffle — set process_index/process_count, or leave None to read
-        them from jax.process_index()/process_count() lazily."""
+        them from jax.process_index()/process_count() lazily.
+
+        ``worker_type``: 'thread' (default — fine when __getitem__ releases
+        the GIL or the dataset is an in-memory cache) or 'process' (fork
+        pool; decodes scale past the GIL — the torch-DataLoader-equivalent
+        mode for heavy PIL decode chains, reference train.py:241-257)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +87,9 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type: {worker_type!r}")
+        self.worker_type = worker_type
         self.epoch = 0
         self._pidx = process_index
         self._pcount = process_count
@@ -85,11 +127,19 @@ class BatchLoader:
             order = order[pidx::pcount]
         return order
 
-    def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
-        samples = list(pool.map(self.dataset.__getitem__, idxs))
+    def _load_batch(self, idxs: np.ndarray, pool):
+        if self.worker_type == "process":
+            samples = pool.map(_pool_get, [int(i) for i in idxs])
+        else:
+            samples = list(pool.map(self.dataset.__getitem__, idxs))
         images = np.stack([s[0] for s in samples])
         labels = np.asarray([s[1] for s in samples], np.int32)
         return images, labels
+
+    def _make_pool(self):
+        if self.worker_type == "process":
+            return _fork_pool(self.dataset, self.num_workers)
+        return ThreadPoolExecutor(self.num_workers)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self._order()
@@ -98,7 +148,7 @@ class BatchLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        with self._make_pool() as pool:
             if self.prefetch <= 0:
                 for idxs in batches:
                     yield self._load_batch(idxs, pool)
@@ -145,6 +195,96 @@ class BatchLoader:
                 t.join()
             finally:
                 abandoned.set()
+
+
+class HostDecodedCache:
+    """Decode the whole dataset ONCE into a host-RAM uint8 array; after
+    that every ``__getitem__`` is a memcpy-cheap view.
+
+    The middle tier of the cache hierarchy for datasets too large for the
+    HBM-resident ``DeviceDatasetCache`` but small enough for host RAM
+    (a 600^2 split decoded at resize 256 costs ~196 KB/sample — 50k samples
+    ≈ 10 GB).  With this wrapper the streaming path's steady-state cost is
+    batch assembly + H2D transfer only: the decode bottleneck
+    (PROFILE_FLAGSHIP_R4: thread-pool PIL capped at 91-116 img/s) is paid
+    once per run instead of once per epoch.
+
+    Same access surface as the wrapped dataset (``__len__``/``__getitem__``/
+    ``classes``/``class_to_idx``/``num_classes``/``image_size``), so it
+    drops into ``BatchLoader`` unchanged.
+    """
+
+    def __init__(self, dataset, num_workers: int = 8,
+                 worker_type: str = "process", verbose: bool = False):
+        n = len(dataset)
+        first_img, first_lbl = dataset[0]
+        first_img = np.asarray(first_img, np.uint8)
+        self.images = np.empty((n,) + first_img.shape, np.uint8)
+        self.labels = np.empty((n,), np.int32)
+        self.images[0] = first_img
+        self.labels[0] = first_lbl
+
+        idxs = list(range(1, n))
+        t0 = None
+        if verbose:
+            import time as _t
+
+            t0 = _t.perf_counter()
+        if worker_type == "process" and n > 64:
+            with _fork_pool(dataset, num_workers) as pool:
+                for i, (img, lbl) in zip(
+                    idxs, pool.imap(_pool_get, idxs, chunksize=32)
+                ):
+                    self.images[i] = img
+                    self.labels[i] = lbl
+        else:
+            with ThreadPoolExecutor(max(1, num_workers)) as pool:
+                for i, (img, lbl) in zip(
+                    idxs, pool.map(dataset.__getitem__, idxs)
+                ):
+                    self.images[i] = img
+                    self.labels[i] = lbl
+        if verbose and t0 is not None:
+            import time as _t
+
+            print(
+                f"HostDecodedCache: {n} samples "
+                f"({self.images.nbytes / 1e6:.0f} MB) decoded in "
+                f"{_t.perf_counter() - t0:.1f}s"
+            )
+
+        # surface passthrough
+        self.dataset_name = getattr(dataset, "dataset_name", "unknown")
+        self.split = getattr(dataset, "split", None)
+        self.classes = getattr(dataset, "classes", None)
+        self.class_to_idx = getattr(dataset, "class_to_idx", None)
+        self.num_classes = getattr(
+            dataset, "num_classes", len(self.classes or [])
+        )
+        self.image_size = self.images.shape[1]
+        self._info = getattr(dataset, "get_dataset_info", None)
+
+    @property
+    def nbytes(self) -> int:
+        return self.images.nbytes + self.labels.nbytes
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        return self.images[idx], int(self.labels[idx])
+
+    def get_dataset_info(self) -> dict:
+        if self._info is not None:
+            return self._info()
+        return {"dataset_name": self.dataset_name, "total_samples": len(self)}
+
+
+def host_cache_fits(
+    num_samples: int, image_size: int, budget_bytes: int
+) -> bool:
+    """Whether a decoded split fits the host-RAM cache budget."""
+    return num_samples * image_size * image_size * 3 <= budget_bytes
 
 
 class DevicePrefetcher:

@@ -32,6 +32,8 @@ from ..data import (
     BatchLoader,
     DeviceDatasetCache,
     DevicePrefetcher,
+    HostDecodedCache,
+    host_cache_fits,
     SyntheticUFGDataset,
     UFGVCDataset,
     device_cache_fits,
@@ -205,6 +207,19 @@ class Trainer:
         )
         multi_host = jax.process_count() > 1
 
+        # host-RAM decoded cache for splits that miss the HBM budget
+        # (data.host_cache: auto|true|false): decode once, stream memcpy
+        # batches after — removes the per-epoch PIL decode bottleneck
+        # (the reference re-decodes every epoch in its DataLoader workers,
+        # train.py:241-257).  data.worker_type: thread|process picks the
+        # decode pool for the streaming path (process = GIL-free, the
+        # torch-worker equivalent).
+        host_cache_mode = str(dcfg.get("host_cache", "auto")).lower()
+        host_budget = int(
+            float(dcfg.get("host_cache_budget_gb", 16.0)) * 1024**3
+        )
+        worker_type = str(dcfg.get("worker_type", "thread"))
+
         def make_loader(dataset, bsz, shuffle):
             img_size = getattr(dataset, "image_size", None) or int(
                 dcfg.get("resize_size", 600)
@@ -233,12 +248,24 @@ class Trainer:
                     len(dataset), loader.nbytes / 1e6,
                 )
                 return loader
+            host_fits = host_cache_fits(len(dataset), img_size, host_budget)
+            if host_cache_mode == "true" or (
+                host_cache_mode == "auto" and host_fits
+            ):
+                dataset = HostDecodedCache(
+                    dataset, num_workers=workers, worker_type="process"
+                )
+                self.logger.info(
+                    "host decoded cache: %d samples (%.0f MB) in RAM",
+                    len(dataset), dataset.nbytes / 1e6,
+                )
             return BatchLoader(
                 dataset,
                 batch_size=bsz,
                 shuffle=shuffle,
                 seed=self.seed,
                 num_workers=workers,
+                worker_type=worker_type,
             )
 
         self.train_loader = make_loader(self.train_dataset, batch_size, True)

@@ -433,3 +433,72 @@ def test_trainer_device_cache_auto(tmp_path):
     assert isinstance(trainer.train_loader, DeviceDatasetCache)
     metrics = trainer.train_epoch(0)
     assert np.isfinite(metrics["loss"])
+
+
+def test_host_decoded_cache_matches_dataset():
+    """HostDecodedCache: identical samples, passthrough surface, and the
+    BatchLoader stream over it equals the stream over the raw dataset."""
+    from ego_moment_cle_vit_tpu.data import HostDecodedCache, host_cache_fits
+
+    ds = SyntheticUFGDataset(
+        num_classes=3, samples_per_class=6, image_size=32, learnable=True
+    )
+    cache = HostDecodedCache(ds, num_workers=2, worker_type="thread")
+    assert len(cache) == len(ds)
+    assert cache.classes == ds.classes
+    assert cache.num_classes == ds.num_classes
+    assert cache.image_size == 32
+    assert cache.nbytes == cache.images.nbytes + cache.labels.nbytes
+    for i in (0, 5, len(ds) - 1):
+        img, lbl = ds[i]
+        cimg, clbl = cache[i]
+        np.testing.assert_array_equal(cimg, img)
+        assert clbl == lbl
+
+    raw = list(BatchLoader(ds, batch_size=4, shuffle=True, seed=3, num_workers=2))
+    cached = list(
+        BatchLoader(cache, batch_size=4, shuffle=True, seed=3, num_workers=2)
+    )
+    for (ri, rl), (ci, cl) in zip(raw, cached):
+        np.testing.assert_array_equal(ri, ci)
+        np.testing.assert_array_equal(rl, cl)
+
+    assert host_cache_fits(100, 32, 100 * 32 * 32 * 3)
+    assert not host_cache_fits(100, 32, 100 * 32 * 32 * 3 - 1)
+
+
+def test_host_decoded_cache_process_pool():
+    """The fork-pool decode path fills the cache identically."""
+    from ego_moment_cle_vit_tpu.data import HostDecodedCache
+
+    ds = SyntheticUFGDataset(
+        num_classes=2, samples_per_class=40, image_size=24, learnable=True
+    )  # n=80 > the 64-sample process-pool threshold
+    thread = HostDecodedCache(ds, num_workers=2, worker_type="thread")
+    proc = HostDecodedCache(ds, num_workers=2, worker_type="process")
+    np.testing.assert_array_equal(proc.images, thread.images)
+    np.testing.assert_array_equal(proc.labels, thread.labels)
+
+
+def test_batch_loader_process_workers_match_threads():
+    """worker_type='process' yields bit-identical batches to the thread
+    pool (same shuffle seed drives both)."""
+    ds = SyntheticUFGDataset(
+        num_classes=3, samples_per_class=8, image_size=24, learnable=True
+    )
+    t = list(
+        BatchLoader(
+            ds, batch_size=6, shuffle=True, seed=11, num_workers=2,
+            worker_type="thread",
+        )
+    )
+    p = list(
+        BatchLoader(
+            ds, batch_size=6, shuffle=True, seed=11, num_workers=2,
+            worker_type="process",
+        )
+    )
+    assert len(t) == len(p) == 4
+    for (ti, tl), (pi, pl) in zip(t, p):
+        np.testing.assert_array_equal(ti, pi)
+        np.testing.assert_array_equal(tl, pl)
