@@ -124,11 +124,23 @@ def _install_salvage() -> None:
 def bench_inference(model, variables, aug_cfg, batch, steps, backbone):
     """Serving path: the specialized single-pass `model.inference` (one
     backbone pass + one Gram; the reference runs the dual pass on a
-    duplicated image, ego_moment_clevit.py:318-331)."""
+    duplicated image, ego_moment_clevit.py:318-331).
+
+    BENCH_INFER_KERNEL=fused_half swaps the backbone onto the fused
+    attention-half kernel (LN1+qkv+attn+proj+residual in one VMEM pass,
+    ops/pallas/attn_half.py) on its supported C<=256 blocks — the kernel
+    kept for serving because it wins forward-only (round 4: stage0 9.51 vs
+    9.88 ms/blk) while losing fwd+bwd.  Default 'auto' (same program the
+    persistent cache is prewarmed with)."""
     import jax
     import jax.numpy as jnp
 
     from ego_moment_cle_vit_tpu.data import dual_view_eval_batch
+
+    infer_kernel = os.environ.get("BENCH_INFER_KERNEL", "auto")
+    if infer_kernel != "auto":
+        # kernel choice is not a parameter: the same variables apply
+        model = model.clone(backbone_attn_kernel=infer_kernel)
 
     rng = np.random.default_rng(0)
     images_u8 = jnp.asarray(
@@ -261,10 +273,19 @@ def _bench_e2e(step, state, key, batch, steps, cached):
     return batch * done / elapsed, state
 
 
-def _step_flops(step, args, backbone: str, batch: int):
-    """Per-step FLOP count: compiled cost analysis when the platform
-    supports it, else the documented analytic model (conservative —
-    backbone f+b only)."""
+def _analytic_step_flops(backbone: str, batch: int):
+    for key, gflop in _FWD_GFLOP_PER_VIEW.items():
+        if backbone.startswith(key):
+            return batch * 2 * gflop * 3 * 1e9, f"analytic({key} fwd x3 x2views)"
+    return None, "unknown-backbone"
+
+
+def _xla_step_flops(step, args):
+    """Exact per-step FLOPs from compiled cost analysis.  May trigger a
+    RECOMPILE of the step program (`.lower().compile()` does not share the
+    jit executable; measured ~25 min cold through the axon remote-compile
+    tunnel) — callers must budget-gate this and fall back to the analytic
+    model, which is conservative (backbone f+b only)."""
     try:
         analysis = step.lower(*args).compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
@@ -274,10 +295,7 @@ def _step_flops(step, args, backbone: str, batch: int):
             return flops, "xla_cost_analysis"
     except Exception:
         pass
-    for key, gflop in _FWD_GFLOP_PER_VIEW.items():
-        if backbone.startswith(key):
-            return batch * 2 * gflop * 3 * 1e9, f"analytic({key} fwd x3 x2views)"
-    return None, "unknown-backbone"
+    return None, "xla_cost_analysis_failed"
 
 
 # ---------------------------------------------------------------------------
@@ -479,14 +497,14 @@ def main() -> int:
     # hardware receipts: achieved TFLOP/s and MFU against the chip's OWN
     # measured matmul ceiling (124 TFLOP/s, docs/PERFORMANCE.md), plus the
     # honest north-star statement (VERDICT r4 item 1: the receipts belong in
-    # the machine-readable artifact, not only in markdown).  Runs AFTER the
-    # headline emit: the cost-analysis lowering may recompile (cache-hit
-    # fast when .jax_cache is warm) and must never delay the core number.
+    # the machine-readable artifact, not only in markdown).  The analytic
+    # receipts land IMMEDIATELY (free); the exact XLA cost analysis runs
+    # only at the very end if budget remains — its `.lower().compile()`
+    # recompiles the step (measured ~25 min cold via axon remote compile)
+    # and must never displace the other extras.
     step_s = elapsed / steps
-    flops, flops_source = _step_flops(
-        step, (state, images_u8, labels, key), backbone, batch
-    )
-    if flops:
+
+    def _receipts(flops, flops_source):
         achieved = flops / step_s / 1e12
         _RESULT.update({
             "achieved_tflops_per_sec": round(achieved, 1),
@@ -496,6 +514,10 @@ def main() -> int:
             "measured_peak_tflops": MEASURED_PEAK_TFLOPS,
             "flops_source": flops_source,
         })
+
+    flops, flops_source = _analytic_step_flops(backbone, batch)
+    if flops:
+        _receipts(flops, flops_source)
 
     # serving number (VERDICT r4 item 3) — single-pass inference path.
     # Cheap when the infer program is cache-warm; contained otherwise.
@@ -560,10 +582,12 @@ def main() -> int:
             env = dict(
                 os.environ,
                 BENCH_PRESET="large",
-                # B=64 + ATTN remat fits since the head-padded stage0
-                # kernel (round 4): 111.5 img/s (B=32 attn 111.9, B=64
-                # block 103.7, B=32 block 98.1 — r3 best was 83.1)
-                BENCH_BATCH=os.environ.get("BENCH_LARGE_BATCH", "64"),
+                # round-4 A/B: B=32 attn 111.9 img/s, B=64 attn 111.5,
+                # B=64 block 103.7, B=32 block 98.1 (r3 best was 83.1).
+                # B=64+attn no longer compiles on the 16G chip (XLA:TPU
+                # OOM: 15.90G of 15.75G hbm, 2026-08-19 prewarm) — default
+                # to the equal-best measured configuration that fits.
+                BENCH_BATCH=os.environ.get("BENCH_LARGE_BATCH", "32"),
                 BENCH_REMAT=os.environ.get("BENCH_LARGE_REMAT", "attn"),
                 BENCH_STEPS="10",
                 BENCH_E2E="0",
@@ -619,6 +643,16 @@ def main() -> int:
             )
         except Exception as exc:
             print(f"# streaming e2e skipped: {exc}", file=sys.stderr)
+
+    # exact-FLOPs upgrade LAST: worth having (the analytic model
+    # undercounts the moment head) but never worth an extra's slot —
+    # cold it recompiles the whole step program (~25 min via axon)
+    if os.environ.get("BENCH_XLA_FLOPS", "1") == "1" and _remaining() > 900:
+        flops, flops_source = _xla_step_flops(
+            step, (state, images_u8, labels, key)
+        )
+        if flops:
+            _receipts(flops, flops_source)
 
     # final superset line (a last-JSON-line parser reads this; a
     # first-JSON-line parser already got the identical headline fields)

@@ -53,18 +53,28 @@ def _run(name: str, env_overrides: dict[str, str]) -> int:
 
 
 def main() -> int:
-    targets = os.environ.get("PREWARM_TARGETS", "full,large").split(",")
+    targets = os.environ.get("PREWARM_TARGETS", "full,infer,large").split(",")
     rc = 0
     if "full" in targets:
         # one bench run compiles the train step AND (BENCH_INFER=1 default)
         # the single-pass serving program
         rc |= _run("full train+infer (swin-base B=64)", {"BENCH_PRESET": "full"})
-    if "large" in targets:
+    if "infer" in targets:
+        # standalone serving-program warm (BENCH_MODE=infer skips the train
+        # step entirely) — covers the case where the full run's in-line
+        # infer sub-bench died to an axon transport fault mid-compile
         rc |= _run(
-            "large train (swin_large B=64 remat=attn)",
+            "infer only (swin-base B=64 single-pass)",
+            {"BENCH_PRESET": "full", "BENCH_MODE": "infer"},
+        )
+    if "large" in targets:
+        # match bench.py's BENCH_LARGE sub-bench defaults (B=32 attn —
+        # B=64+attn OOMs at compile on the 16G chip, 2026-08-19)
+        rc |= _run(
+            "large train (swin_large B=32 remat=attn)",
             {
                 "BENCH_PRESET": "large",
-                "BENCH_BATCH": "64",
+                "BENCH_BATCH": "32",
                 "BENCH_REMAT": "attn",
                 "BENCH_INFER": "0",
             },
