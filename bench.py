@@ -520,29 +520,48 @@ def main() -> int:
         _receipts(flops, flops_source)
 
     # serving number (VERDICT r4 item 3) — single-pass inference path.
-    # Cheap when the infer program is cache-warm; contained otherwise.
+    # Runs in a BENCH_MODE=infer subprocess with its own wall-clock box:
+    # warm it completes in ~1-2 min; cold its remote compile can take tens
+    # of minutes and must never eat the e2e/swin_large extras behind it
+    # (the subprocess salvage/timeout contains it, this process moves on).
     if (
         preset == "full"
         and os.environ.get("BENCH_INFER", "1") == "1"
         and _remaining() > 240
     ):
         try:
-            # `variables` was donated into the train state by the first
-            # step() call — rebuild the serving variables from the LIVE
-            # state (params are stored-dtype there; masters live in
-            # opt_state, exactly what model.apply expects)
-            infer_vars = {"params": state.params}
-            if state.batch_stats is not None:
-                infer_vars["batch_stats"] = state.batch_stats
-            if state.constants is not None:
-                infer_vars["constants"] = state.constants
-            sub = bench_inference(
-                model, infer_vars, aug_cfg, batch,
-                min(steps, 20), backbone,
+            import subprocess
+
+            sub_budget = min(420, max(60, int(_remaining() / 2)))
+            env = dict(
+                os.environ,
+                BENCH_MODE="infer",
+                BENCH_STEPS=str(min(steps, 20)),
+                BENCH_BUDGET_S=str(sub_budget),
             )
-            _RESULT["infer_images_per_sec_per_chip"] = sub["value"]
-            _RESULT["infer_vs_baseline"] = sub["vs_baseline"]
-            _RESULT["infer_baseline_img_per_sec"] = sub["baseline_img_per_sec"]
+            proc = subprocess.run(
+                [sys.executable, __file__],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=sub_budget + 30,
+            )
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    sub = json.loads(line)
+                    _RESULT["infer_images_per_sec_per_chip"] = sub["value"]
+                    _RESULT["infer_vs_baseline"] = sub.get("vs_baseline")
+                    _RESULT["infer_baseline_img_per_sec"] = sub.get(
+                        "baseline_img_per_sec"
+                    )
+                    break
+            else:
+                print(
+                    f"# infer sub-bench produced no JSON (rc={proc.returncode}): "
+                    f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ''}",
+                    file=sys.stderr,
+                )
         except Exception as exc:
             print(f"# infer sub-bench skipped: {exc}", file=sys.stderr)
 
