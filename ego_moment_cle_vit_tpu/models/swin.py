@@ -181,13 +181,20 @@ def _build_bias_bd(table: jnp.ndarray, ws: int, p: int, num_heads: int):
 
     One-hot matmul instead of a gather (gathers are ~100x slower than
     matmuls on this TPU and would be replayed in remat backwards).
+
+    The one-hot is built IN-GRAPH from the tiny [n*n] int index (iota
+    compare, fused by XLA) rather than materialized host-side: a baked
+    [2401, 169] f32 literal is ~1.6 MB of HLO text PER BLOCK (~78 MB over
+    24 Swin blocks), which the axon remote-compile service must ingest on
+    every cold compile — measured as the dominant cause of the 12-50 min
+    cold compiles and mid-compile transport faults (round-5 diagnosis).
+    Same 0/1 values, bit-identical matmul.
     """
     n = ws * ws
-    onehot = jnp.asarray(
-        np.eye((2 * ws - 1) ** 2, dtype=np.float32)[
-            _relative_position_index(ws).reshape(-1)
-        ]
-    )
+    idx = jnp.asarray(_relative_position_index(ws).reshape(-1), jnp.int32)
+    onehot = (
+        idx[:, None] == jnp.arange((2 * ws - 1) ** 2, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
     bias = (onehot @ table.astype(jnp.float32)).reshape(n, n, num_heads)
     bias = bias.transpose(2, 0, 1)  # [H, N, N]
     if p > 1:
