@@ -147,21 +147,25 @@ def bench_inference(model, variables, aug_cfg, batch, steps, backbone):
         rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
     )
 
+    # `variables` MUST be a jit argument, not a closure: closed-over params
+    # are lowered as HLO literals — ~3 GB of program text for the 88M-param
+    # flagship (measured 2026-08-19), which the axon remote-compile service
+    # must ingest per cold compile. As an argument the program is ~4 M chars.
     @jax.jit
-    def infer(images_u8):
+    def infer(variables, images_u8):
         anchor, _ = dual_view_eval_batch(images_u8, aug_cfg)
         return model.apply(variables, anchor, method=model.inference)
 
-    logits = infer(images_u8)
+    logits = infer(variables, images_u8)
     float(logits[0, 0])
     for _ in range(3):
-        logits = infer(images_u8)
+        logits = infer(variables, images_u8)
     float(logits[0, 0])
     elapsed = None
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(steps):
-            logits = infer(images_u8)
+            logits = infer(variables, images_u8)
         float(logits[0, 0])
         took = time.perf_counter() - t0
         elapsed = took if elapsed is None else min(elapsed, took)

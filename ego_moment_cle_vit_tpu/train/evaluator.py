@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -127,11 +128,15 @@ class Evaluator:
 
     def _build_steps(self) -> None:
         model = self.model
-        variables = self.variables
         aug_cfg = self.aug_cfg
 
+        # All jitted steps take `variables` as an ARGUMENT and are wrapped
+        # with functools.partial at build time.  Closing over the params
+        # instead lowers them as HLO literals — ~3 GB of program text at
+        # flagship size (measured 2026-08-19) — which cripples compile time
+        # on TPU remote-compile paths and bloats the persistent cache.
         @jax.jit
-        def eval_step(images_u8, labels):
+        def eval_step(variables, images_u8, labels):
             anchor, positive = dual_view_eval_batch(images_u8, aug_cfg)
             out = model.apply(
                 variables, anchor, positive, labels, return_features=True
@@ -144,10 +149,10 @@ class Evaluator:
                 "anchor_global": feats["anchor_global"],
             }
 
-        self._eval_step = eval_step
+        self._eval_step = partial(eval_step, self.variables)
 
         @jax.jit
-        def graph_sample_step(images_u8, labels):
+        def graph_sample_step(variables, images_u8, labels):
             # one-off: materializing the [B, N, N] fused graph as a jit
             # OUTPUT on every batch costs real HBM traffic; the viz suite
             # needs a single sample, fetched once from the first batch
@@ -157,11 +162,11 @@ class Evaluator:
             )
             return out["features"]["fused_graph"][0]
 
-        self._graph_sample_step = graph_sample_step
+        self._graph_sample_step = partial(graph_sample_step, self.variables)
 
         def make_ablation(mode):
             @jax.jit
-            def step(images_u8):
+            def step(variables, images_u8):
                 anchor, positive = dual_view_eval_batch(images_u8, aug_cfg)
                 return model.apply(
                     variables,
@@ -171,7 +176,7 @@ class Evaluator:
                     method=model.ablation_forward,
                 )
 
-            return step
+            return partial(step, self.variables)
 
         self._ablation_steps = {
             mode: make_ablation(mode)
@@ -187,7 +192,7 @@ class Evaluator:
 
         def make_tta(scale: float, flip: bool):
             @jax.jit
-            def step(images_u8):
+            def step(variables, images_u8):
                 imgs = images_u8.astype(jnp.float32) / 255.0
                 b, s, _, c = imgs.shape
                 target = max(aug_cfg.input_size, int(round(s * scale)))
@@ -211,7 +216,7 @@ class Evaluator:
                 )
                 return jax.nn.softmax(logits, axis=-1)
 
-            return step
+            return partial(step, self.variables)
 
         if self._tta_enabled:
             self._tta_steps = [make_tta(s, False) for s in scales]

@@ -74,12 +74,18 @@ def main(argv=None) -> int:
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
 
+    # params as a jit ARGUMENT (closed-over params lower as HLO literals:
+    # ~3 GB of program text at flagship size — pathological on the TPU
+    # remote-compile path)
     @jax.jit
-    def infer(images_u8):
+    def _infer(variables, images_u8):
         imgs = images_u8.astype(jnp.float32) / 255.0
         imgs = jax.vmap(lambda i: center_crop(i, aug_cfg.input_size))(imgs)
         imgs = normalize(imgs, aug_cfg)
         return model.apply(variables, imgs, method=model.inference)
+
+    def infer(images_u8):
+        return _infer(variables, images_u8)
 
     # gather inputs
     batches = []

@@ -374,3 +374,36 @@ def test_clip_and_skip_nonfinite_bf16_master_leaves():
     u, s = tx.update(g, s, params)
     assert u["w"].dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(u["w"], np.float32)))
+
+
+def test_eval_programs_do_not_embed_params_as_literals(smoke_config):
+    """Program-size contract: every jitted eval/serving step takes the
+    variables as an ARGUMENT.  Closing over them lowers the full param set
+    as HLO dense literals — ~3 GB of program text at flagship size
+    (measured 2026-08-19) — which cripples cold compiles on TPU
+    remote-compile paths.  Guard: lowered text must be far smaller than a
+    params-inlined program could ever be (>= ~8 chars per float)."""
+    import jax
+    import numpy as np
+
+    from ego_moment_cle_vit_tpu.train import Evaluator
+
+    evaluator = Evaluator(smoke_config, checkpoint_path=None)
+    evaluator.setup_data()
+    evaluator.load_model()
+    n_param_floats = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree_util.tree_leaves(evaluator.variables)
+    )
+    assert n_param_floats > 1e5  # the bound below is only meaningful then
+
+    batch = np.zeros((2, 64, 64, 3), np.uint8)
+    labels = np.zeros((2,), np.int32)
+    step = evaluator._eval_step  # functools.partial(jitted, variables)
+    txt = step.func.lower(*step.args, batch, labels).as_text()
+    # params-inlined text would be >= 8 * n_param_floats chars just for the
+    # literals; the arg-passing program is O(model depth), not O(params)
+    assert len(txt) < 4 * n_param_floats, (
+        f"eval_step HLO text {len(txt)} chars looks param-inlined "
+        f"({n_param_floats} param floats)"
+    )
