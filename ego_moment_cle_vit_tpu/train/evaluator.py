@@ -120,10 +120,12 @@ class Evaluator:
             self.model = create_model(self.config, self.num_classes)
             size = self.aug_cfg.input_size
             dummy = jnp.zeros((2, size, size, 3), jnp.float32)
-            self.variables = self.model.init(jax.random.PRNGKey(0), dummy, dummy)
-        self.variables = jax.tree_util.tree_map(
-            jnp.asarray, self.variables
-        )
+            self.variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0), dummy, dummy
+            )
+        # one batched transfer (a per-leaf jnp.asarray sweep costs an RTT
+        # per leaf on remote-dispatch TPU paths)
+        self.variables = jax.device_put(self.variables)
         self._build_steps()
 
     def _build_steps(self) -> None:

@@ -354,13 +354,26 @@ def create_train_state(
     steps_per_epoch: int,
 ) -> EMCTrainState:
     tx = create_optimizer(config, steps_per_epoch)
-    return EMCTrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"],
-        tx=tx,
-        batch_stats=variables.get("batch_stats"),
-        constants=variables.get("constants"),
-    )
+
+    # jit the whole state construction: eager tx.init dispatches one tiny
+    # zeros_like/cast op PER PARAM LEAF, which on a remote-dispatch TPU path
+    # (axon tunnel) costs an RTT each — hundreds of round trips.  As one
+    # compiled program it is a single dispatch (and persists in the
+    # compilation cache).  Values are identical either way.  The variables
+    # are DONATED so unchanged leaves alias through instead of doubling the
+    # params in HBM (a flagship-sized copy OOMed the 16G chip); callers must
+    # not reuse them — none do, the init->state handoff is the universal
+    # pattern (donation is a no-op on CPU).
+    def _make(variables):
+        return EMCTrainState.create(
+            apply_fn=model.apply,
+            params=variables["params"],
+            tx=tx,
+            batch_stats=variables.get("batch_stats"),
+            constants=variables.get("constants"),
+        )
+
+    return jax.jit(_make, donate_argnums=(0,))(variables)
 
 
 # ---------------------------------------------------------------------------

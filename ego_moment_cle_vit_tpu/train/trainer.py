@@ -290,7 +290,10 @@ class Trainer:
         init_key, self.train_key = jax.random.split(self.root_key)
         dummy = jnp.zeros((2, in_size, in_size, 3), jnp.float32)
         dummy_labels = jnp.zeros((2,), jnp.int32)
-        variables = self.model.init(init_key, dummy, dummy, dummy_labels)
+        # jitted: eager flax init dispatches each initializer op through a
+        # remote-dispatch TPU path one RTT at a time (see train/state.py
+        # create_train_state for the same pathology on tx.init)
+        variables = jax.jit(self.model.init)(init_key, dummy, dummy, dummy_labels)
 
         # pretrained backbone splice (timm state_dict file; see
         # utils/port_weights.py — the reference's timm.create_model(...,

@@ -72,7 +72,7 @@ def main(argv=None) -> int:
         print("note: no --checkpoint given; using random weights (smoke mode)")
         size = aug_cfg.input_size
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
 
     # params as a jit ARGUMENT (closed-over params lower as HLO literals:
     # ~3 GB of program text at flagship size — pathological on the TPU

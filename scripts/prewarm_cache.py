@@ -53,8 +53,19 @@ def _run(name: str, env_overrides: dict[str, str]) -> int:
 
 
 def main() -> int:
-    targets = os.environ.get("PREWARM_TARGETS", "full,infer,large").split(",")
+    targets = os.environ.get("PREWARM_TARGETS", "all").split(",")
     rc = 0
+    if "all" in targets:
+        # bench.py runs its extras IN-PROCESS since round 5: ONE run with
+        # extras on compiles the swin-base train step, the single-pass
+        # serving program, AND the swin_large train step — one device init
+        # instead of three.  BENCH_E2E stays off (it reuses the train-step
+        # program).  Falls through to the standalone targets below only
+        # when selected explicitly (fault isolation).
+        rc |= _run(
+            "all (swin-base train + infer + swin_large, one process)",
+            {"BENCH_PRESET": "full", "BENCH_LARGE": "1", "BENCH_INFER": "1"},
+        )
     if "full" in targets:
         # one bench run compiles the train step AND (BENCH_INFER=1 default)
         # the single-pass serving program
