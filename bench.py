@@ -645,12 +645,25 @@ def main() -> int:
 
     # streaming e2e before swin_large (it needs the live swin-base state,
     # which the swin_large extra frees) — but only when enough budget
-    # remains that running it cannot cost the more-judged swin_large row
+    # remains that running it cannot cost the more-judged swin_large row.
+    # Hardened twice after a rehearsal lost the swin_large slot to a decode
+    # pool that FORKED a multithreaded JAX parent and deadlocked: (1) the
+    # pool start method defaults to spawn here (the synthetic dataset
+    # pickles cheaply), (2) the section runs under a re-pointed SIGALRM
+    # that raises a containable TimeoutError instead of salvage-exiting.
     if (
         os.environ.get("BENCH_E2E", "1") == "1"
         and os.environ.get("BENCH_E2E_STREAM", "1") == "1"
         and _remaining() > 280
     ):
+        os.environ.setdefault("EMCT_POOL_START", "spawn")
+        stream_cap = int(min(200.0, _remaining() - 160))
+
+        def _stream_timeout(signum, frame):
+            raise TimeoutError(f"streaming extra exceeded {stream_cap}s box")
+
+        old_handler = signal.signal(signal.SIGALRM, _stream_timeout)
+        signal.alarm(max(1, stream_cap))
         try:
             e2e_stream, state = _bench_e2e(
                 step, state, key, batch, steps, cached=False
@@ -670,6 +683,11 @@ def main() -> int:
             _mark("streaming e2e")
         except Exception as exc:
             print(f"# streaming e2e skipped: {exc}", file=sys.stderr)
+        finally:
+            # restore the global budget alarm (points back at salvage)
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_handler)
+            signal.alarm(max(1, int(_remaining())))
 
     # second metric: the reference's own configured flagship backbone
     # (swin_large, /root/reference/configs/ufg_base.yaml:7) at its measured

@@ -14,6 +14,7 @@ augmentation, and normalization are on-device XLA (see .augment).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -38,14 +39,39 @@ def _pool_get(idx: int):  # pragma: no cover - runs in child
     return _WORKER_DATASET[int(idx)]
 
 
+def _spawn_init(dataset):  # pragma: no cover - runs in child
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
 def _fork_pool(dataset, num_workers: int):
-    """Fork-start process pool whose children see ``dataset`` via
-    copy-on-write (the parent global is set immediately before the fork —
-    NOT passed through initargs, which would pickle a potentially
-    hundreds-of-MB parquet byte column once per worker).  Each pool
-    snapshots the dataset at fork time, so sequentially created pools for
-    different datasets are safe even if their iterations interleave."""
+    """Process pool whose children serve ``dataset[idx]``.
+
+    Start method (``EMCT_POOL_START``, default ``fork``):
+
+    * ``fork`` — children see the dataset via copy-on-write (the parent
+      global is set immediately before the fork — NOT passed through
+      initargs, which would pickle a potentially hundreds-of-MB parquet
+      byte column once per worker).  CAVEAT: forking a parent that already
+      runs a multithreaded JAX client can deadlock a child on an inherited
+      lock (observed on the TPU streaming bench) — prefer ``spawn`` when a
+      live device client exists and the dataset pickles cheaply.
+    * ``spawn`` — fresh children, dataset delivered once per worker via the
+      initializer (pickled); immune to the fork-after-threads deadlock.
+      Standard multiprocessing rules apply: the calling script's module
+      level must be import-safe (``if __name__ == "__main__":`` guard),
+      because spawn re-executes ``__main__`` in every worker.  Workers
+      pay one package import each (~2 s); verified live on the TPU
+      streaming drive (2026-08-20).
+    """
     import multiprocessing as mp
+
+    method = os.environ.get("EMCT_POOL_START", "fork")
+    if method == "spawn":
+        ctx = mp.get_context("spawn")
+        return ctx.Pool(
+            max(1, num_workers), initializer=_spawn_init, initargs=(dataset,)
+        )
 
     global _WORKER_DATASET
     _WORKER_DATASET = dataset

@@ -480,6 +480,21 @@ def test_host_decoded_cache_process_pool():
     np.testing.assert_array_equal(proc.labels, thread.labels)
 
 
+def test_spawn_pool_matches_fork(monkeypatch):
+    """EMCT_POOL_START=spawn (the fork-after-threads-safe mode bench.py
+    selects when a live JAX client exists) decodes identically to fork."""
+    from ego_moment_cle_vit_tpu.data import HostDecodedCache
+
+    ds = SyntheticUFGDataset(
+        num_classes=2, samples_per_class=40, image_size=24, learnable=True
+    )
+    fork = HostDecodedCache(ds, num_workers=2, worker_type="process")
+    monkeypatch.setenv("EMCT_POOL_START", "spawn")
+    spawn = HostDecodedCache(ds, num_workers=2, worker_type="process")
+    np.testing.assert_array_equal(spawn.images, fork.images)
+    np.testing.assert_array_equal(spawn.labels, fork.labels)
+
+
 def test_batch_loader_process_workers_match_threads():
     """worker_type='process' yields bit-identical batches to the thread
     pool (same shuffle seed drives both)."""
