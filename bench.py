@@ -60,7 +60,15 @@ import time
 import numpy as np
 
 _T_START = time.perf_counter()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1000"))
+# Internal wall-clock budget.  The driver-compat mechanism is the SIGTERM
+# salvage (an external timeout gets the best-so-far JSON + rc 0 once the
+# headline exists); this SIGALRM budget only bounds an unattended run, so
+# it must exceed the worst OBSERVED cache-load: loading the prewarmed
+# train-step executable through the axon service took 116 s on a healthy
+# session and 403-1257 s across a degraded evening (2026-08-19/20).
+# Self-salvaging at 1000 s would abort a 1257-s load with NO headline
+# (rc 1); 2200 s rides out the worst case and still leaves extras time.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2200"))
 
 A100_REFERENCE_IMG_PER_SEC = 180.0  # documented estimate, see module docstring
 # swin_large preset: same derivation scaled by the backbone FLOP ratio
@@ -157,7 +165,7 @@ def bench_inference(model, variables, aug_cfg, batch, steps, backbone):
     import jax
     import jax.numpy as jnp
 
-    from ego_moment_cle_vit_tpu.data import dual_view_eval_batch
+    from ego_moment_cle_vit_tpu.bench_core import make_infer_fn
 
     infer_kernel = os.environ.get("BENCH_INFER_KERNEL", "auto")
     if infer_kernel != "auto":
@@ -169,14 +177,10 @@ def bench_inference(model, variables, aug_cfg, batch, steps, backbone):
         rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
     )
 
-    # `variables` MUST be a jit argument, not a closure: closed-over params
-    # are lowered as HLO literals — ~3 GB of program text for the 88M-param
-    # flagship (measured 2026-08-19), which the axon remote-compile service
-    # must ingest per cold compile. As an argument the program is ~4 M chars.
-    @jax.jit
-    def infer(variables, images_u8):
-        anchor, _ = dual_view_eval_batch(images_u8, aug_cfg)
-        return model.apply(variables, anchor, method=model.inference)
+    # package-resident factory: the traced program (and so its persistent
+    # cache key) is identical however bench.py itself is launched — see
+    # ego_moment_cle_vit_tpu/bench_core.py for the measured rationale
+    infer = make_infer_fn(model, aug_cfg)
 
     logits = infer(variables, images_u8)
     float(logits[0, 0])
@@ -417,34 +421,16 @@ def _train_bench_core(
     Returns (img_per_sec, compile_s, loss_val, state, step, key)."""
     import jax
 
-    from ego_moment_cle_vit_tpu.data import dual_view_train_batch
+    from ego_moment_cle_vit_tpu.bench_core import make_train_step
     from ego_moment_cle_vit_tpu.train.state import create_train_state
 
     state = create_train_state(model, variables, config, steps_per_epoch=100)
     _mark("create_train_state")
 
-    def train_step(state, images_u8, labels, key):
-        aug_key, dropout_key = jax.random.split(jax.random.fold_in(key, state.step))
-        anchor, positive = dual_view_train_batch(images_u8, aug_key, aug_cfg)
-
-        def loss_fn(params):
-            vs = {"params": params}
-            if state.constants is not None:
-                vs["constants"] = state.constants
-            out = model.apply(
-                vs,
-                anchor,
-                positive,
-                labels,
-                deterministic=False,
-                rngs={"dropout": dropout_key},
-            )
-            return out["loss"]
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads=grads), loss
-
-    step = jax.jit(train_step, donate_argnums=(0,))
+    # package-resident factory: the traced program (and so its persistent
+    # cache key) is identical however bench.py itself is launched — see
+    # ego_moment_cle_vit_tpu/bench_core.py for the measured rationale
+    step = make_train_step(model, aug_cfg)
 
     # NOTE: on the experimental axon platform, block_until_ready() can
     # return before remote execution finishes — a scalar host fetch
