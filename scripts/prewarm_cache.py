@@ -40,8 +40,8 @@ def _run(name: str, env_overrides: dict[str, str]) -> int:
         BENCH_E2E_STREAM="0",
         BENCH_LARGE="0",
         BENCH_BUDGET_S=os.environ.get("PREWARM_BUDGET_S", "3000"),
-        **env_overrides,
     )
+    env.update(env_overrides)  # overrides win (dict(**kw) raises on dupes)
     t0 = time.perf_counter()
     print(f"prewarming {name} ...", flush=True)
     proc = subprocess.run([sys.executable, BENCH], env=env)
